@@ -1,0 +1,163 @@
+"""Tile binning + depth sorting for the Gaussian rasterizer (pure jnp/XLA).
+
+TPU-native re-design of the reference sort stage (`sort_gaussian.py` +
+`sort_gaussian.cu` in `/root/reference/src/submodules/dptr/dptr/gs/`):
+
+  reference (CUDA): dynamic duplicate-per-tile expansion -> 64-bit
+      `tile_id<<32|float_depth_bits` keys -> torch radix sort -> per-tile
+      [start, end) ranges.
+
+  here (XLA, static shapes): every Gaussian scatters at most
+      `max_tiles_per_gaussian` (tile_id, depth, gaussian_id) entries into a
+      fixed `max_intersections` buffer (sentinel-padded); one multi-key
+      `lax.sort` on (tile_id, depth) reproduces the tile-major,
+      depth-ascending compositing order (float compare == bit compare for
+      positive depths); entries are then re-scattered into a *chunk-aligned*
+      layout where each tile's run starts at a multiple of `chunk` and is
+      padded with alpha=0 slots. The Pallas blend kernel can then stream
+      aligned [D, chunk] blocks with zero validity masking — padding slots
+      have opacity 0 and id -1, so they contribute nothing.
+
+Everything is a fixed-shape tensor op, so the whole stage jits and fuses;
+there is no dynamic allocation anywhere (SURVEY.md §7 idiom shift 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import tile_grid
+
+
+class Binning(NamedTuple):
+    """Chunk-aligned, depth-sorted intersection list for one camera view."""
+
+    gid: jnp.ndarray           # [P] int32 gaussian id per slot (-1 = padding)
+    tile_nchunks: jnp.ndarray  # [T] int32 number of `chunk` blocks per tile
+    tile_chunk_start: jnp.ndarray  # [T] int32 first chunk index per tile
+    num_intersections: jnp.ndarray  # [] int32 true intersection count (may
+    #                                  exceed max_intersections => truncated;
+    #                                  callers should log saturation)
+    num_tiles_x: int
+    num_tiles_y: int
+    chunk: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.num_tiles_x * self.num_tiles_y
+
+    @property
+    def padded_size(self) -> int:
+        return self.gid.shape[0]
+
+
+def padded_intersection_size(max_intersections: int, num_tiles: int, chunk: int) -> int:
+    """Static size of the chunk-aligned buffer: worst case every tile wastes
+    one partially-filled chunk."""
+    total = max_intersections + num_tiles * chunk
+    return -(-total // chunk) * chunk
+
+
+@partial(
+    jax.jit,
+    static_argnames=("W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk", "block"),
+)
+def bin_and_sort(
+    depth: jnp.ndarray,
+    tiles: jnp.ndarray,
+    rect_min: jnp.ndarray,
+    rect_max: jnp.ndarray,
+    W: int,
+    H: int,
+    max_intersections: int,
+    max_tiles_per_gaussian: int = 32,
+    chunk: int = 128,
+    block: int = 16,
+) -> Binning:
+    """Build the depth-sorted, chunk-aligned per-tile Gaussian lists.
+
+    Args:
+      depth: [N] camera depths (0 for culled points).
+      tiles: [N] int32 tile counts from EWA (0 for culled points).
+      rect_min/rect_max: [N, 2] int32 tile rects from EWA.
+      max_intersections: static capacity of the intersection list. Real
+        count is returned in `num_intersections` — if it exceeds this, the
+        farthest-scattered entries are dropped (no silent resize under jit).
+      max_tiles_per_gaussian: static per-Gaussian tile footprint cap.
+        Gaussians overlapping more tiles are truncated (the reference has no
+        cap but its optimizer prunes >20 px screen-size Gaussians, so large
+        footprints are transient; see `gs_optimizer.py:350-379`).
+    """
+    N = depth.shape[0]
+    tgx, tgy = tile_grid(W, H, block)
+    T = tgx * tgy
+    P = padded_intersection_size(max_intersections, T, chunk)
+
+    tiles = jnp.minimum(tiles.astype(jnp.int32), max_tiles_per_gaussian)
+    offs = jnp.cumsum(tiles) - tiles  # exclusive prefix
+    total = offs[-1] + tiles[-1]
+
+    # --- expansion: scatter (tile, depth, gid) entries -----------------------
+    sent_tile = jnp.full((max_intersections,), T, dtype=jnp.int32)
+    sent_depth = jnp.full((max_intersections,), jnp.inf, dtype=jnp.float32)
+    sent_gid = jnp.full((max_intersections,), -1, dtype=jnp.int32)
+
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    gid_all = jnp.arange(N, dtype=jnp.int32)
+    depth_f = depth.astype(jnp.float32)
+
+    def expand_body(j, bufs):
+        tile_b, depth_b, gid_b = bufs
+        valid = j < tiles
+        tx = rect_min[:, 0] + j % rect_w
+        ty = rect_min[:, 1] + j // rect_w
+        tid = (ty * tgx + tx).astype(jnp.int32)
+        tgt = jnp.where(valid, offs + j, max_intersections)  # OOB => dropped
+        tile_b = tile_b.at[tgt].set(tid, mode="drop")
+        depth_b = depth_b.at[tgt].set(depth_f, mode="drop")
+        gid_b = gid_b.at[tgt].set(gid_all, mode="drop")
+        return tile_b, depth_b, gid_b
+
+    tile_buf, depth_buf, gid_buf = jax.lax.fori_loop(
+        0, max_tiles_per_gaussian, expand_body, (sent_tile, sent_depth, sent_gid)
+    )
+
+    # --- lexicographic (tile, depth) sort ------------------------------------
+    # Stable tile-major, depth-ascending order; sentinels (tile=T, depth=inf)
+    # sort to the end. Matches `sort_gaussian.cu:16-42`'s packed 64-bit key
+    # order for positive depths.
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
+    )
+
+    # --- per-tile ranges ------------------------------------------------------
+    tile_edges = jnp.searchsorted(
+        sorted_tile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = tile_edges[1:] - tile_edges[:-1]  # [T]
+    padded_counts = -(-counts // chunk) * chunk
+    padded_offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    )
+
+    # --- re-scatter into the chunk-aligned layout ----------------------------
+    idx = jnp.arange(max_intersections, dtype=jnp.int32)
+    tile_clip = jnp.clip(sorted_tile, 0, T - 1)
+    pos = padded_offs[tile_clip] + (idx - tile_edges[tile_clip])
+    pos = jnp.where(sorted_tile < T, pos, P)  # sentinels dropped
+
+    gid_pad = jnp.full((P,), -1, dtype=jnp.int32).at[pos].set(sorted_gid, mode="drop")
+
+    return Binning(
+        gid=gid_pad,
+        tile_nchunks=(padded_counts // chunk).astype(jnp.int32),
+        tile_chunk_start=(padded_offs[:-1] // chunk).astype(jnp.int32),
+        num_intersections=total,
+        num_tiles_x=tgx,
+        num_tiles_y=tgy,
+        chunk=chunk,
+    )

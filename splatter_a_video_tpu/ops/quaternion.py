@@ -1,0 +1,176 @@
+"""Quaternion / rotation / 3D covariance math (pure jnp, fully differentiable).
+
+TPU-native equivalent of the reference's quaternion helpers
+(`/root/reference/src/pointrix/utils/gaussian_points/gaussian_utils.py:11-61`)
+and the `compute_cov3d` CUDA op
+(`/root/reference/src/submodules/dptr/dptr/gs/src/compute_cov3d.cu`).
+Everything here is point-wise over the Gaussian axis, so plain jnp + XLA
+fusion is the right implementation — no custom kernel needed; gradients come
+from JAX autodiff (the reference hand-writes them in CUDA).
+
+Conventions: quaternions are (w, x, y, z), covariance 6-vectors are the upper
+triangle (xx, xy, xz, yy, yz, zz) — matching the reference storage layout.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Normalize quaternions along the last axis. [..., 4] -> [..., 4]."""
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w,x,y,z) -> rotation matrix. [..., 4] -> [..., 3, 3].
+
+    Same element layout as the reference `build_rotation`
+    (`gaussian_utils.py:11-33`).
+    """
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotmat_to_quat(R: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Rotation matrix -> unit quaternion (w,x,y,z). [..., 3, 3] -> [..., 4].
+
+    Branch-free Shepperd-style construction (jit/vmap friendly: all four
+    candidate quaternions are computed and the best-conditioned is selected
+    with `where`, instead of the data-dependent branches typical on CPU/GPU).
+    """
+    m = R
+    t = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+
+    def _cand(qw, qx, qy, qz):
+        return jnp.stack([qw, qx, qy, qz], axis=-1)
+
+    # candidate 0: trace-dominant
+    s0 = jnp.sqrt(jnp.maximum(t + 1.0, eps)) * 2.0
+    c0 = _cand(
+        0.25 * s0,
+        (m[..., 2, 1] - m[..., 1, 2]) / s0,
+        (m[..., 0, 2] - m[..., 2, 0]) / s0,
+        (m[..., 1, 0] - m[..., 0, 1]) / s0,
+    )
+    s1 = jnp.sqrt(jnp.maximum(1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2], eps)) * 2.0
+    c1 = _cand(
+        (m[..., 2, 1] - m[..., 1, 2]) / s1,
+        0.25 * s1,
+        (m[..., 0, 1] + m[..., 1, 0]) / s1,
+        (m[..., 0, 2] + m[..., 2, 0]) / s1,
+    )
+    s2 = jnp.sqrt(jnp.maximum(1.0 - m[..., 0, 0] + m[..., 1, 1] - m[..., 2, 2], eps)) * 2.0
+    c2 = _cand(
+        (m[..., 0, 2] - m[..., 2, 0]) / s2,
+        (m[..., 0, 1] + m[..., 1, 0]) / s2,
+        0.25 * s2,
+        (m[..., 1, 2] + m[..., 2, 1]) / s2,
+    )
+    s3 = jnp.sqrt(jnp.maximum(1.0 - m[..., 0, 0] - m[..., 1, 1] + m[..., 2, 2], eps)) * 2.0
+    c3 = _cand(
+        (m[..., 1, 0] - m[..., 0, 1]) / s3,
+        (m[..., 0, 2] + m[..., 2, 0]) / s3,
+        (m[..., 1, 2] + m[..., 2, 1]) / s3,
+        0.25 * s3,
+    )
+
+    d0 = t
+    d1 = m[..., 0, 0]
+    d2 = m[..., 1, 1]
+    d3 = m[..., 2, 2]
+    best = jnp.argmax(jnp.stack([d0, d1, d2, d3], axis=-1), axis=-1)
+    out = jnp.where(
+        (best == 0)[..., None],
+        c0,
+        jnp.where((best == 1)[..., None], c1, jnp.where((best == 2)[..., None], c2, c3)),
+    )
+    return quat_normalize(out)
+
+
+def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of quaternions (w,x,y,z). [..., 4] x [..., 4]."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def build_cov3d(scaling: jnp.ndarray, rotation: jnp.ndarray, visible=None) -> jnp.ndarray:
+    """3D covariance 6-vector (xx,xy,xz,yy,yz,zz) from scale + quaternion.
+
+    Sigma = R S S^T R^T with S = diag(scaling). Parity target:
+    `compute_cov3d.cu` / `build_covariance_from_scaling_rotation`
+    (`gaussian_utils.py:36-61`). `rotation` is normalized internally (the
+    CUDA kernel receives already-activated rotations; we normalize defensively
+    so both call styles agree).
+
+    Args:
+      scaling:  [N, 3] activated (positive) scales.
+      rotation: [N, 4] quaternions (w,x,y,z), any norm.
+      visible:  optional [N] or [N,1] bool; invisible rows are zeroed
+                (the CUDA op gates computation on `visible`).
+
+    Returns: [N, 6] covariance upper triangles.
+    """
+    q = quat_normalize(rotation)
+    R = quat_to_rotmat(q)  # [N,3,3]
+    M = R * scaling[..., None, :]  # R @ diag(s): scale columns
+    sigma = M @ jnp.swapaxes(M, -1, -2)  # [N,3,3]
+    cov6 = jnp.stack(
+        [
+            sigma[..., 0, 0],
+            sigma[..., 0, 1],
+            sigma[..., 0, 2],
+            sigma[..., 1, 1],
+            sigma[..., 1, 2],
+            sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+    if visible is not None:
+        vis = jnp.reshape(visible, visible.shape[:1] + (1,)).astype(cov6.dtype)
+        cov6 = cov6 * vis
+    return cov6
+
+
+def cov6_to_mat(cov6: jnp.ndarray) -> jnp.ndarray:
+    """Covariance 6-vector -> symmetric [..., 3, 3] matrix."""
+    xx, xy, xz, yy, yz, zz = (cov6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def inverse_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
+    """log(x / (1-x)) — inverse of the opacity activation
+    (`gaussian_utils.py:7-8`)."""
+    return jnp.log(x / (1.0 - x))

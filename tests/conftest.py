@@ -1,0 +1,19 @@
+"""Test harness: force CPU with 8 virtual devices so the full suite (including
+multi-chip sharding tests) runs without TPU hardware; Pallas kernels run in
+interpreter mode automatically (see `rasterize_tpu.splat_packed`).
+
+Note: a pytest plugin imports jax before this conftest runs, so env vars are
+too late — but backends initialize lazily, so `jax.config` still works here.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

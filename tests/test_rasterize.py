@@ -1,0 +1,219 @@
+"""Parity + gradient tests: Pallas tile rasterizer vs the sequential oracle.
+
+The oracle (`rasterize_ref.splat_reference`) restates the CUDA blender
+semantics exactly; the Pallas path (binning + packing + splat kernel) must
+match it on scenes with no truncation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.ops import binning, projection, quaternion, rasterize, rasterize_ref, rasterize_tpu
+
+W, H = 64, 48
+
+
+def make_scene(key, n=120, opacity_max=0.9):
+    """Random gaussians inside the canonical ortho frustum."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    xyz = jnp.concatenate(
+        [
+            jax.random.uniform(k1, (n, 2), minval=-0.9, maxval=0.9),
+            jax.random.uniform(k2, (n, 1), minval=0.5, maxval=2.0),
+        ],
+        axis=1,
+    )
+    scale = jnp.exp(jax.random.uniform(k3, (n, 3), minval=-3.5, maxval=-2.0))
+    quat = quaternion.quat_normalize(jax.random.normal(k4, (n, 4)))
+    opacity = jax.random.uniform(k5, (n,), minval=0.1, maxval=opacity_max)
+    feats = jax.random.uniform(jax.random.fold_in(key, 9), (n, 3))
+    return xyz, scale, quat, opacity, feats
+
+
+def project_scene(xyz, scale, quat):
+    extr = jnp.eye(3, 4)
+    uv, depth = projection.project_ortho(xyz, extr, W, H)
+    visible = depth != 0
+    cov6 = quaternion.build_cov3d(scale, quat, visible)
+    conic, radius, tiles, rmin, rmax = projection.ewa_ortho(cov6, extr, uv, W, H, visible)
+    return uv, depth, conic, radius, tiles, rmin, rmax
+
+
+def pallas_render(uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
+                  bg=(1.0, 1.0, 1.0), K_idx=0, alpha_grad_mask=None):
+    b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
+    packed = rasterize_tpu.pack_intersections(
+        uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)), b.gid
+    )
+    return rasterize_tpu.splat_packed(
+        packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
+        C=feats.shape[1], W=W, H=H, bg=bg,
+        alpha_grad_mask=alpha_grad_mask, K_idx=K_idx,
+    )
+
+
+class TestBinning:
+    def test_counts_and_order(self):
+        key = jax.random.PRNGKey(0)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
+        gid = np.asarray(b.gid)
+        nch = np.asarray(b.tile_nchunks)
+        cst = np.asarray(b.tile_chunk_start)
+        tgx, tgy = projection.tile_grid(W, H)
+        depth_np = np.asarray(depth)
+        rmin_np, rmax_np = np.asarray(rmin), np.asarray(rmax)
+        radius_np = np.asarray(radius)
+
+        total_expected = int(np.asarray(tiles).sum())
+        assert int(b.num_intersections) == total_expected
+
+        for t in range(tgx * tgy):
+            ty, tx = divmod(t, tgx)
+            start, n = cst[t] * 128, nch[t] * 128
+            slot_ids = gid[start : start + n]
+            real = slot_ids[slot_ids >= 0]
+            # brute-force expectation: all gaussians whose rect covers tile t
+            exp = [
+                i
+                for i in range(len(depth_np))
+                if radius_np[i] > 0
+                and rmin_np[i, 0] <= tx < rmax_np[i, 0]
+                and rmin_np[i, 1] <= ty < rmax_np[i, 1]
+            ]
+            assert sorted(real.tolist()) == sorted(exp), f"tile {t}"
+            # depth-ascending order
+            d = depth_np[real]
+            assert (np.diff(d) >= 0).all(), f"tile {t} not depth sorted"
+            # padding slots come after real ones
+            assert (slot_ids[len(real):] == -1).all()
+
+
+class TestSplatParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_forward_matches_oracle(self, seed):
+        key = jax.random.PRNGKey(seed)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        img, finalT, ncontrib, _ = pallas_render(
+            uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats
+        )
+        ref = rasterize_ref.splat_reference(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)),
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(finalT), np.asarray(ref.final_T), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(ncontrib), np.asarray(ref.ncontrib))
+
+    def test_gs_idx_matches_oracle(self):
+        key = jax.random.PRNGKey(3)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        img, _, _, gs_idx = pallas_render(
+            uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats, K_idx=8
+        )
+        ref = rasterize_ref.splat_reference(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)), K_idx=8,
+        )
+        np.testing.assert_array_equal(np.asarray(gs_idx), np.asarray(ref.gs_idx))
+
+    def test_opaque_early_termination(self):
+        """Opacities near 1 exercise the T<1e-4 termination rule."""
+        key = jax.random.PRNGKey(4)
+        xyz, scale, quat, opacity, feats = make_scene(key, n=200, opacity_max=0.989)
+        opacity = jnp.clip(opacity * 1.1, 0.0, 0.989)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        img, finalT, ncontrib, _ = pallas_render(
+            uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats
+        )
+        ref = rasterize_ref.splat_reference(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)),
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(finalT), np.asarray(ref.final_T), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(ncontrib), np.asarray(ref.ncontrib))
+
+
+class TestSplatGradients:
+    def _loss_pallas(self, params, key_data):
+        uv, depth, conic, radius, tiles, rmin, rmax, tgt = key_data
+        opacity, feats, uv_p, conic_p = params
+        img, _, _, _ = pallas_render(
+            uv_p, depth, conic_p, radius, tiles, rmin, rmax, opacity, feats
+        )
+        return jnp.sum((img - tgt) ** 2)
+
+    def _loss_oracle(self, params, key_data):
+        uv, depth, conic, radius, tiles, rmin, rmax, tgt = key_data
+        opacity, feats, uv_p, conic_p = params
+        ref = rasterize_ref.splat_reference(
+            uv_p, conic_p, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)),
+        )
+        return jnp.sum((ref.image - tgt) ** 2)
+
+    def test_grads_match_oracle(self):
+        key = jax.random.PRNGKey(5)
+        # keep opacities < 0.9 so the 0.99-clamp subgradient difference
+        # (CUDA ignores the clamp; the oracle's autodiff doesn't) is inactive
+        xyz, scale, quat, opacity, feats = make_scene(key, opacity_max=0.85)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        tgt = jnp.zeros((H, W, 3))
+        data = (uv, depth, conic, radius, tiles, rmin, rmax, tgt)
+        params = (opacity, feats, uv, conic)
+
+        g_p = jax.grad(self._loss_pallas)(params, data)
+        g_o = jax.grad(self._loss_oracle)(params, data)
+        for a, b, name in zip(g_p, g_o, ["opacity", "feats", "uv", "conic"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=2e-3,
+                err_msg=f"grad mismatch: {name}",
+            )
+
+    def test_abs_sink_grads(self):
+        """The abs-sink rows receive summed |duv| (densify statistics)."""
+        key = jax.random.PRNGKey(6)
+        xyz, scale, quat, opacity, feats = make_scene(key, opacity_max=0.85)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
+
+        def loss(abs_sink, uv):
+            packed = rasterize_tpu.pack_intersections(
+                uv, conic, opacity, feats, abs_sink, b.gid
+            )
+            img, _, _, _ = rasterize_tpu.splat_packed(
+                packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
+                C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+            )
+            return jnp.sum(img**2)
+
+        zero_sink = jnp.zeros((uv.shape[0], 2))
+        g_abs, g_uv = jax.grad(loss, argnums=(0, 1))(zero_sink, uv)
+        g_abs, g_uv = np.asarray(g_abs), np.asarray(g_uv)
+        # |sum of grads| <= sum of |grads| with equality when one tile only
+        assert (g_abs >= np.abs(g_uv) - 1e-5).all()
+        assert g_abs.sum() > 0
+
+    def test_alpha_grad_mask_blocks_opacity(self):
+        """Channels with mask=0 reproduce the reference's opacity.detach()."""
+        key = jax.random.PRNGKey(7)
+        xyz, scale, quat, opacity, feats = make_scene(key, opacity_max=0.85)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+
+        def loss(opacity, mask):
+            img, _, _, _ = pallas_render(
+                uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
+                bg=(0.0, 0.0, 0.0), alpha_grad_mask=mask,
+            )
+            return jnp.sum(img**2)
+
+        g_on = jax.grad(lambda o: loss(o, (1.0, 1.0, 1.0)))(opacity)
+        g_off = jax.grad(lambda o: loss(o, (0.0, 0.0, 0.0)))(opacity)
+        assert np.abs(np.asarray(g_on)).sum() > 0
+        np.testing.assert_allclose(np.asarray(g_off), 0.0, atol=1e-7)

@@ -1,0 +1,268 @@
+"""Adaptive density control under static capacity (jit-safe clone/split/prune).
+
+TPU-native re-design of the reference's 3DGS density control
+(`/root/reference/src/pointrix/optimizer/gs_optimizer.py:94-379` and the
+production `AtlasGaussianSplattingOptimizer` variant
+`atlas_gs_optimizer.py`, which always prunes big screen-space points).
+The reference grows/shrinks tensors and performs Adam-state surgery
+(`points.py:281-395`); under jit every shape is static, so here:
+
+  * arrays stay at `capacity`; `alive` is the live mask;
+  * clone/split children are *compacted* with fixed-size `jnp.nonzero(...,
+    size=cap)` and scattered into free (dead) slots; if free slots run
+    out, the surplus candidates are dropped (and reported via
+    `DensifyInfo.dropped` — no silent caps);
+  * split parents are removed only when all their children were placed
+    (placement is a prefix of the candidate list, so "last child placed"
+    suffices);
+  * Adam moments of newly used slots are zeroed — the functional mirror of
+    `extend_optimizer` (`points.py:337-353`); opacity-reset zeroes the
+    opacity moments like `replace_optimizer` (`points.py:384-385`).
+
+Semantics parity notes:
+  * clone: grad-norm >= threshold and max scale <= percent_dense * extent
+    (`gs_optimizer.py:197-224`); split: same grad test with max scale >
+    percent_dense * extent; children sample N(0, scale) rotated by the
+    parent rotation, scaling /= 0.8 * split_num (`:253-285`);
+  * prune: opacity < min_opacity, 2D radius > 20 px, world size > 0.1 *
+    extent (the atlas variant applies the size tests unconditionally,
+    `atlas_gs_optimizer.py:358-366`);
+  * opacity reset to min(op, 0.01) every `opacity_reset_interval`, with the
+    reference's one-step deferral (`gs_optimizer.py:127-133,186-195`);
+  * viewspace grad-norm accumulation over visible points with per-point
+    visit counts (`gs_optimizer.py:110-121`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianScene
+from ..ops.quaternion import inverse_sigmoid, quat_normalize, quat_to_rotmat
+from .optim import zero_moments_at
+
+
+@dataclass(frozen=True)
+class DensifyConfig:
+    """Hypers — production values from `frag_gs_v10.yaml:26-39`."""
+
+    percent_dense: float = 0.001
+    split_num: int = 2
+    densify_start_iter: int = 500
+    densify_stop_iter: int = 100000
+    prune_interval: int = 100
+    duplicate_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_grad_threshold: float = 0.0002
+    min_opacity: float = 0.05
+    cameras_extent: float = 1.0
+    max_radii2d_px: float = 20.0
+
+
+class DensifyState(NamedTuple):
+    max_radii2d: jnp.ndarray      # [cap] f32
+    pos_grad_accum: jnp.ndarray   # [cap] f32
+    denom: jnp.ndarray            # [cap] f32
+
+
+class DensifyInfo(NamedTuple):
+    num_cloned: jnp.ndarray
+    num_split: jnp.ndarray
+    num_pruned: jnp.ndarray
+    dropped: jnp.ndarray          # candidates that found no free slot
+    num_alive: jnp.ndarray
+
+
+def init_state(capacity: int) -> DensifyState:
+    z = jnp.zeros((capacity,), jnp.float32)
+    return DensifyState(z, z, z)
+
+
+def accumulate_stats(
+    state: DensifyState,
+    visibility: jnp.ndarray,
+    radii: jnp.ndarray,
+    viewspace_grad_norm: jnp.ndarray,
+) -> DensifyState:
+    """Per-step statistics update (`gs_optimizer.py:110-121`).
+
+    Args:
+      visibility: [cap] bool (radius > 0 across the batch).
+      radii: [cap] int/float max 2D radii across the batch.
+      viewspace_grad_norm: [cap] ||d ndc||_2 of the screen-position grads.
+    """
+    vis = visibility.astype(jnp.float32)
+    return DensifyState(
+        max_radii2d=jnp.maximum(state.max_radii2d, radii.astype(jnp.float32) * vis),
+        pos_grad_accum=state.pos_grad_accum + viewspace_grad_norm * vis,
+        denom=state.denom + vis,
+    )
+
+
+def _place_candidates(
+    scene_params: Dict[str, jnp.ndarray],
+    alive: jnp.ndarray,
+    cand_parent: jnp.ndarray,   # [cap] parent index per candidate (-1 pad)
+    cand_is_split: jnp.ndarray, # [cap] bool
+    cand_rank: jnp.ndarray,     # [cap] child rank within parent (for rng)
+    key: jax.Array,
+    split_num: int,
+):
+    """Scatter candidate children into free slots. Returns (params, used_mask,
+    n_placed, n_cand, n_free)."""
+    cap = alive.shape[0]
+    free_idx = jnp.nonzero(~alive, size=cap, fill_value=cap)[0]  # [cap]
+    n_free = jnp.sum(~alive)
+    n_cand = jnp.sum(cand_parent >= 0)
+    n_placed = jnp.minimum(n_free, n_cand)
+
+    j = jnp.arange(cap)
+    placed = (j < n_placed) & (cand_parent >= 0)
+    dst = jnp.where(placed, free_idx[j], cap)          # scatter target (drop)
+    src = jnp.where(cand_parent >= 0, cand_parent, 0)  # safe gather
+
+    # split children get resampled positions + shrunk scaling
+    scaling_act = jnp.exp(scene_params["scaling"][src])          # [cap,3]
+    rot = quat_normalize(scene_params["rotation"][src])
+    Rm = quat_to_rotmat(rot)
+    noise = jax.random.normal(key, (cap, 3)) * scaling_act
+    split_pos_off = jnp.einsum("nij,nj->ni", Rm, noise)
+    new_params = {}
+    for name, val in scene_params.items():
+        child = val[src]
+        if name == "position":
+            child = jnp.where(
+                cand_is_split[:, None], child + split_pos_off, child
+            )
+        elif name == "scaling":
+            child = jnp.where(
+                cand_is_split[:, None],
+                child - jnp.log(0.8 * split_num),
+                child,
+            )
+        new_params[name] = val.at[dst].set(
+            jnp.where(placed.reshape((cap,) + (1,) * (child.ndim - 1)), child, 0.0),
+            mode="drop",
+        )
+
+    used = jnp.zeros((cap,), bool).at[dst].set(placed, mode="drop")
+    return new_params, used, n_placed, n_cand, n_free
+
+
+def densify_and_prune(
+    scene: GaussianScene,
+    opt_state,
+    state: DensifyState,
+    step: jnp.ndarray,
+    cfg: DensifyConfig,
+    key: jax.Array,
+) -> Tuple[GaussianScene, object, DensifyState, DensifyInfo]:
+    """One density-control event (call every `duplicate_interval` steps).
+
+    Pure and jit-safe; mirrors `densification` + `prune` + `reset_opacity`
+    ordering of the reference.
+    """
+    cap = scene.alive.shape[0]
+    alive = scene.alive
+    params = scene.params
+
+    grads = jnp.where(state.denom > 0, state.pos_grad_accum / state.denom, 0.0)
+    grads = jnp.nan_to_num(grads)
+    scaling_act = jnp.exp(params["scaling"])
+    max_scale = jnp.max(scaling_act, axis=-1)
+    dense_limit = cfg.percent_dense * cfg.cameras_extent
+
+    hot = alive & (grads >= cfg.densify_grad_threshold)
+    clone_mask = hot & (max_scale <= dense_limit)
+    split_mask = hot & (max_scale > dense_limit)
+
+    # ---- build the candidate list: clones first, then split children -----
+    clone_idx = jnp.nonzero(clone_mask, size=cap, fill_value=-1)[0]
+    split_idx = jnp.nonzero(split_mask, size=cap, fill_value=-1)[0]
+    n_clone = jnp.sum(clone_mask)
+    n_split = jnp.sum(split_mask)
+
+    sn = cfg.split_num
+    split_children = jnp.repeat(split_idx, sn)          # [cap*sn], grouped
+    split_rank = jnp.tile(jnp.arange(sn), cap)
+
+    all_parent = jnp.concatenate([clone_idx, split_children])
+    all_is_split = jnp.concatenate(
+        [jnp.zeros((cap,), bool), jnp.ones((cap * sn,), bool)]
+    )
+    all_rank = jnp.concatenate([jnp.zeros((cap,), jnp.int32), split_rank])
+    # compact out the -1 padding (keeps clone-before-split order)
+    keep = jnp.nonzero(all_parent >= 0, size=cap, fill_value=cap * (sn + 1))[0]
+    pad_row = jnp.concatenate([all_parent, jnp.array([-1])])
+    cand_parent = pad_row[jnp.minimum(keep, cap * (sn + 1))]
+    cand_is_split = jnp.concatenate([all_is_split, jnp.array([False])])[
+        jnp.minimum(keep, cap * (sn + 1))
+    ]
+    cand_rank = jnp.concatenate([all_rank, jnp.array([0])])[
+        jnp.minimum(keep, cap * (sn + 1))
+    ]
+
+    new_params, used, n_placed, n_cand, n_free = _place_candidates(
+        params, alive, cand_parent, cand_is_split, cand_rank, key, sn
+    )
+    alive = alive | used
+
+    # ---- remove split parents whose children were all placed -------------
+    # children of split parent r occupy candidate positions
+    # [n_clone + r*sn, n_clone + (r+1)*sn); placement is a prefix.
+    r = jnp.arange(cap)
+    parent_last_child = n_clone + (r + 1) * sn - 1
+    parent_removed = (parent_last_child < n_placed) & (split_idx >= 0)
+    remove_slots = jnp.where(parent_removed, split_idx, cap)
+    alive = alive.at[remove_slots].set(False, mode="drop")
+
+    # ---- prune (atlas variant: size tests unconditional) -----------------
+    opacity_act = jax.nn.sigmoid(new_params["opacity"][:, 0])
+    prune = (
+        (opacity_act < cfg.min_opacity)
+        | (state.max_radii2d > cfg.max_radii2d_px)
+        | (jnp.max(jnp.exp(new_params["scaling"]), axis=-1) > 0.1 * cfg.cameras_extent)
+    )
+    # freshly placed children keep zeroed radii stats -> not pruned by radii
+    prune = prune & ~used
+    n_pruned = jnp.sum(prune & alive)
+    alive = alive & ~prune
+
+    # ---- optimizer moments: restart stats at newly used slots ------------
+    opt_state = zero_moments_at(opt_state, used)
+
+    # ---- reset densification statistics (reference resets fully) ---------
+    new_state = init_state(cap)
+
+    aux = dict(scene.aux)
+    aux["alive"] = alive
+    new_scene = scene.replace(params=new_params, aux=aux)
+    info = DensifyInfo(
+        num_cloned=jnp.minimum(n_clone, n_placed),
+        num_split=jnp.sum(parent_removed),
+        num_pruned=n_pruned,
+        dropped=n_cand - n_placed,
+        num_alive=jnp.sum(alive),
+    )
+    return new_scene, opt_state, new_state, info
+
+
+def reset_opacity(
+    scene: GaussianScene, opt_state, max_value: float = 0.01
+) -> Tuple[GaussianScene, object]:
+    """Clamp opacities to <= max_value and restart their Adam moments —
+    parity with `reset_opacity` (`gs_optimizer.py:186-195`) +
+    `replace_optimizer` moment zeroing (`points.py:384-385`)."""
+    op = jax.nn.sigmoid(scene.params["opacity"])
+    new_op = inverse_sigmoid(jnp.minimum(op, max_value))
+    params = dict(scene.params)
+    params["opacity"] = new_op
+    opt_state = zero_moments_at(
+        opt_state, jnp.ones_like(scene.alive), names=("opacity",)
+    )
+    return scene.replace(params=params), opt_state

@@ -1,0 +1,166 @@
+"""Per-attribute optimizer + schedules for the Gaussian scene.
+
+TPU-native equivalent of the reference's optimizer assembly:
+  * per-attribute Adam param groups built from YAML `params:`
+    (`/root/reference/src/pointrix/optimizer/__init__.py:27-62`) with
+    eps=1e-15 (`src/configs/frag_gs_v10.yaml:23-25`);
+  * `ExponLRScheduler` log-linear lr interpolation init -> final over
+    max_steps, scaled by `spatial_lr_scale`
+    (`src/pointrix/optimizer/scheduler.py:9-100`).
+
+Implemented as one optax transform per attribute dict entry: each attribute
+gets its own Adam chain with its own (possibly scheduled) learning rate.
+The optimizer state is a plain pytree over [capacity, ...] arrays, so
+densification can edit moments in place with masked scatters — the
+functional mirror of the reference's `extend/replace/prune_optimizer`
+surgery (`src/pointrix/point_cloud/points.py:281-395`); see `density.py`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# production learning rates (frag_gs_v10.yaml:40-67); position-like params
+# additionally get the exponential schedule (yaml:68-90)
+DEFAULT_LRS: Dict[str, float] = {
+    "position": 0.00006,
+    "pos_cubic_coeff": 0.00006,
+    "features_dc": 0.0025,
+    "features_rest": 0.000125,
+    "scaling": 0.005,
+    "rotation": 0.001,
+    "opacity": 0.05,
+    "pos_poly_feat": 0.001,
+    "pos_fourier_feat": 0.00006,
+    "rot_poly_feat": 0.001,
+    "rot_fourier_feat": 0.001,
+    "mask_attribute": 0.001,
+    "dino_attribute": 0.001,
+}
+
+DEFAULT_SCHEDULES: Dict[str, Tuple[float, float]] = {
+    # name -> (init, final), log-lerped over max_steps
+    "position": (0.00006, 0.0000016),
+    "pos_cubic_coeff": (0.00006, 0.0000016),
+    "pos_poly_feat": (0.001, 0.00001),
+    "pos_fourier_feat": (0.00006, 0.0000016),
+    "rot_poly_feat": (0.001, 0.00001),
+    "rot_fourier_feat": (0.001, 0.00001),
+}
+
+
+def expon_lr(
+    init: float,
+    final: float,
+    max_steps: int,
+    lr_scale: float = 1.0,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Log-linear interpolation lr(t) = exp(lerp(log init, log final, t)),
+    parity with `ExponLRScheduler.get_expon_lr_func` (`scheduler.py:40-80`).
+    """
+    li = jnp.log(init * lr_scale)
+    lf = jnp.log(final * lr_scale)
+
+    def sched(step):
+        t = jnp.clip(jnp.asarray(step, jnp.float32) / max_steps, 0.0, 1.0)
+        return jnp.exp(li * (1 - t) + lf * t)
+
+    return sched
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    max_steps: int = 20000
+    eps: float = 1e-15                      # frag_gs_v10.yaml:25
+    b1: float = 0.9
+    b2: float = 0.999
+    spatial_lr_scale: float = 1.0
+    lrs: Tuple[Tuple[str, float], ...] = tuple(sorted(DEFAULT_LRS.items()))
+    schedules: Tuple[Tuple[str, Tuple[float, float]], ...] = tuple(
+        sorted(DEFAULT_SCHEDULES.items())
+    )
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """Per-attribute Adam with per-attribute (scheduled) lrs.
+
+    Returns an optax transform over the scene `params` dict. Unknown
+    attributes fall back to lr=0.001.
+    """
+    lrs = dict(cfg.lrs)
+    schedules = dict(cfg.schedules)
+
+    def make_one(name: str) -> optax.GradientTransformation:
+        if name in schedules:
+            init, final = schedules[name]
+            lr: Any = expon_lr(init, final, cfg.max_steps, cfg.spatial_lr_scale)
+        else:
+            lr = lrs.get(name, 0.001)
+        return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+
+    def label_fn(params: Dict[str, Any]) -> Dict[str, str]:
+        return {k: k for k in params}
+
+    cache: Dict[Tuple[str, ...], optax.GradientTransformation] = {}
+
+    def _get(params):
+        keys = tuple(sorted(params.keys()))
+        if keys not in cache:
+            cache[keys] = optax.multi_transform(
+                {k: make_one(k) for k in keys}, label_fn
+            )
+        return cache[keys]
+
+    # the attribute set binds lazily at first init/update (GradientTransformation
+    # is a NamedTuple of pure functions, so wrap with closures)
+    def init_fn(params):
+        return _get(params).init(params)
+
+    def update_fn(updates, state, params=None):
+        return _get(updates).update(updates, state, params)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def zero_moments_at(opt_state, slot_mask: jnp.ndarray, names: Optional[Tuple[str, ...]] = None):
+    """Zero Adam first/second moments at masked slots.
+
+    The functional equivalent of the reference's moment surgery when points
+    are added/replaced (`points.py:337-353, 384-385`): new or replaced
+    slots restart their Adam statistics. `slot_mask` is [capacity] bool.
+    `names` restricts the surgery to specific attributes (e.g. ("opacity",)
+    for the opacity reset, which replaces only the opacity param group).
+    """
+
+    def _zero(x):
+        if isinstance(x, jnp.ndarray) and x.ndim >= 1 and x.shape[0] == slot_mask.shape[0]:
+            shape = (slot_mask.shape[0],) + (1,) * (x.ndim - 1)
+            return x * (~slot_mask).reshape(shape).astype(x.dtype)
+        return x
+
+    def _map(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=node.count,
+                mu=jax.tree_util.tree_map(_zero, node.mu),
+                nu=jax.tree_util.tree_map(_zero, node.nu),
+            )
+        return node
+
+    def _apply(state):
+        return jax.tree_util.tree_map(
+            _map, state, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState)
+        )
+
+    if names is not None and hasattr(opt_state, "inner_states"):
+        inner = dict(opt_state.inner_states)
+        for k in names:
+            if k in inner:
+                inner[k] = _apply(inner[k])
+        return opt_state._replace(inner_states=inner)
+    return _apply(opt_state)

@@ -1,0 +1,289 @@
+"""Training orchestration: the jitted train step + host-side schedule.
+
+TPU-native equivalent of `FragTrainer`
+(`/root/reference/src/trainer_fragGS.py:107-997`). The reference runs an
+eager torch loop (forward -> backward -> optimizer surgery -> python-side
+logging); here the whole step — both frame forwards, the fused multi-channel
+render, every production loss, the gradients, and the Adam update — is ONE
+jitted function, with density control as a second jitted function invoked on
+its (host-known, static) schedule, mirroring the reference's
+`duplicate_interval`/`prune_interval`/`opacity_reset_interval` cadence.
+
+Production loss assembly parity (`compute_all_losses`,
+`trainer_fragGS.py:466-724`):
+
+    loss = loss_rgb_weight * [(1-0.2) L1 + 0.2 (1-SSIM)]     (:575-583)
+         + loss_flow_weight * tracking_loss                   (:528-569)
+         + depth_loss_dpt(depth, gt_depth)                    (:598-601)
+         + arap_loss / 1000                                   (:671-675)
+
+with `track_gs` = the *other* frame's Gaussian positions blended into this
+frame's rasterization (:506-533), rendered together with the configured
+extra attributes in a single fused kernel launch (the reference uses three
+CUDA launches; see `ops/rasterize_tpu.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gaussians import GaussianScene, SceneConfig
+from ..ops import rasterize as _raster
+from ..ops.quaternion import quat_normalize
+from . import density as _density
+from . import losses as _losses
+from . import optim as _optim
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Static trainer configuration (hashable; every field shapes the jit)."""
+
+    width: int
+    height: int
+    num_frames: int
+    # loss weights (CLI defaults: configs/config.txt:loss_rgb_weight=10,
+    # loss_flow_weight=2; src/config.py)
+    loss_rgb_weight: float = 10.0
+    loss_flow_weight: float = 2.0
+    lambda_dssim: float = 0.2
+    depth_loss_weight: float = 1.0
+    arap_weight: float = 1e-3          # rigid_error / 1000 (:674)
+    arap_sample_num: int = 512
+    arap_knn: int = 5
+    num_track_samples: int = 4096      # fixed per-step track batch (padded)
+    track_quantile: float = 0.98
+    # rasterizer
+    max_intersections: int = 1 << 21
+    max_tiles_per_gaussian: int = 32
+    white_bg: bool = True
+    # schedule
+    max_steps: int = 20000
+    optim: _optim.OptimConfig = field(default_factory=_optim.OptimConfig)
+    densify: _density.DensifyConfig = field(default_factory=_density.DensifyConfig)
+
+    def raster_cfg(self, K_idx: int = 0) -> _raster.RasterizeConfig:
+        return _raster.RasterizeConfig(
+            width=self.width,
+            height=self.height,
+            max_intersections=self.max_intersections,
+            max_tiles_per_gaussian=self.max_tiles_per_gaussian,
+            K_idx=K_idx,
+        )
+
+
+class TrainState(NamedTuple):
+    scene: GaussianScene
+    opt_state: Any
+    densify_state: _density.DensifyState
+    step: jnp.ndarray
+    key: jax.Array
+
+
+class Batch(NamedTuple):
+    """One (t1, t2) frame-pair sample — the `GSSimpleDataset` contract
+    (`src/loaders/gs_data2.py:50-88`) plus the per-pair TAPIR supervision
+    that the reference loads from disk inside the step
+    (`trainer_fragGS.py:537-538`; here it arrives device-resident)."""
+
+    t1: jnp.ndarray               # [] int32
+    t2: jnp.ndarray               # [] int32
+    rgb1: jnp.ndarray             # [H, W, 3] float32 in [0,1]
+    depth1: jnp.ndarray           # [H, W] float32 (aligned mono-depth)
+    query_px: jnp.ndarray         # [P, 2] float32 query pixels in frame t1
+    target_tracks: jnp.ndarray    # [P, 4] (x, y, occ_logit, expected_dist) at t2
+    track_valid: jnp.ndarray      # [P] bool (padding mask)
+
+
+def scene_render_inputs(scene: GaussianScene, t) -> Dict[str, jnp.ndarray]:
+    """Gather activated per-Gaussian render inputs at time t — parity with
+    `SingleAtlasWithBaseModel.forward` (`frag_model.py:99-137`)."""
+    out = {
+        "position": scene.get_position(t),
+        "opacity": scene.get_opacity(),
+        "scaling": scene.get_scaling(),
+        "rotation": scene.get_rotation(t),
+        "shs": scene.get_shs(),
+    }
+    for name in ("mask_attribute", "dino_attribute"):
+        if name in scene.params:
+            out[name] = scene.get_render_attribute(name)
+    out["pos_poly_feat"] = scene.params["pos_poly_feat"].reshape(
+        scene.params["pos_poly_feat"].shape[0], -1
+    )
+    return out
+
+
+def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
+    """Build the jitted train step for a fixed canonical camera."""
+    rcfg = cfg.raster_cfg()
+    extr_j = jnp.asarray(extr, jnp.float32)
+
+    optimizer = _optim.make_optimizer(cfg.optim)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Batch):
+        key, sub = jax.random.split(state.key)
+        scene = state.scene
+
+        def loss_fn_with_sinks(params, uv_sink, abs_sink):
+            sc = GaussianScene(params=params, aux=scene.aux, cfg=scene.cfg)
+            N = sc.alive.shape[0]
+            inp1 = scene_render_inputs(sc, batch.t1)
+            pos2 = sc.get_position(batch.t2)
+            extra = {"track_gs": pos2}
+            for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+                if name in inp1:
+                    extra[name] = inp1[name]
+            out = _render_with_sinks(
+                inp1, extr_j, rcfg, extra, cfg.white_bg, uv_sink, abs_sink
+            )
+            pred_rgb = out.features["rgb"]
+            pred_depth = out.features["depth"][..., 0]
+            track_map = out.features["track_gs"]
+
+            loss_rgb = _losses.rgb_loss(pred_rgb, batch.rgb1, cfg.lambda_dssim)
+            vis, _, conf = _losses.parse_tapir_track_info(
+                batch.target_tracks[:, 2], batch.target_tracks[:, 3]
+            )
+            interval = jnp.abs(batch.t2 - batch.t1).astype(jnp.float32)
+            loss_flow = _losses.tracking_loss(
+                track_map, batch.query_px, batch.target_tracks[:, :2],
+                vis & batch.track_valid, conf, interval,
+                cfg.num_frames, cfg.height, cfg.width,
+                quantile=cfg.track_quantile,
+            )
+            loss_depth = _losses.depth_loss_dpt(pred_depth, batch.depth1)
+            loss_arap = _losses.arap_loss(
+                inp1["position"], pos2, sub,
+                k=cfg.arap_knn, sample_num=cfg.arap_sample_num, alive=sc.alive,
+            )
+            loss = (
+                cfg.loss_rgb_weight * loss_rgb
+                + cfg.loss_flow_weight * loss_flow
+                + cfg.depth_loss_weight * loss_depth
+                + cfg.arap_weight * loss_arap
+            )
+            metrics = {
+                "loss": loss,
+                "loss_rgb": loss_rgb,
+                "loss_flow": loss_flow,
+                "loss_depth": loss_depth,
+                "loss_arap": loss_arap,
+                "psnr": _losses.psnr(pred_rgb, batch.rgb1),
+                "num_intersections": out.num_intersections,
+            }
+            return loss, (metrics, out.radius)
+
+        N = scene.alive.shape[0]
+        uv0 = jnp.zeros((N, 2))
+        (grads, duv, dabs), (metrics, radius) = jax.grad(
+            loss_fn_with_sinks, argnums=(0, 1, 2), has_aux=True
+        )(scene.params, uv0, uv0)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, scene.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, scene.params, updates
+        )
+        new_scene = scene.replace(params=new_params)
+
+        # densification statistics: ndc-scale grad norms
+        # (alpha_blending_enhanced.py:121-129 — duv * (W/2, H/2))
+        ndc_grad = duv * jnp.array([cfg.width / 2.0, cfg.height / 2.0])
+        gnorm = jnp.linalg.norm(ndc_grad, axis=-1)
+        dstate = _density.accumulate_stats(
+            state.densify_state, radius > 0, radius, gnorm
+        )
+
+        return (
+            TrainState(new_scene, opt_state, dstate, state.step + 1, key),
+            metrics,
+        )
+
+    @partial(jax.jit, static_argnames=())
+    def density_step(state: TrainState):
+        key, sub = jax.random.split(state.key)
+        scene, opt_state, dstate, info = _density.densify_and_prune(
+            state.scene, state.opt_state, state.densify_state,
+            state.step, cfg.densify, sub,
+        )
+        return TrainState(scene, opt_state, dstate, state.step, key), info
+
+    @jax.jit
+    def opacity_reset_step(state: TrainState):
+        scene, opt_state = _density.reset_opacity(state.scene, state.opt_state)
+        return TrainState(scene, opt_state, state.densify_state, state.step, state.key)
+
+    return train_step, density_step, opacity_reset_step
+
+
+def _render_with_sinks(inp, extr, rcfg, extra, white_bg, uv_sink, abs_sink):
+    """render_gaussians with the uv/abs gradient-sink dummies injected —
+    the reference's `ndc` / `abs_ndc` retain_grad trick
+    (`dptr_ortho_enhanced.py:331-338`) done the functional way."""
+    from ..ops import rasterize as R
+    from ..ops import projection as P
+    from ..ops import quaternion as Q
+    from ..ops import sh as S
+
+    position = inp["position"]
+    N = position.shape[0]
+    dirs = jnp.concatenate(
+        [jnp.zeros((N, 2), position.dtype), jnp.ones((N, 1), position.dtype)], axis=1
+    )
+    uv, depth = P.project_ortho(position, extr, rcfg.width, rcfg.height,
+                                rcfg.nearest, rcfg.extent)
+    uv = uv + uv_sink  # signed viewspace-grad capture
+    visible = depth != 0
+    rgb = S.eval_sh(rcfg.sh_degree, inp["shs"], dirs, visible)
+    cov3d = Q.build_cov3d(inp["scaling"], inp["rotation"], visible)
+    conic, radius, tiles, rect_min, rect_max = P.ewa_ortho(
+        cov3d, extr, uv, rcfg.width, rcfg.height, visible, rcfg.block
+    )
+    groups = {
+        "rgb": (rgb, 1.0 if white_bg else 0.0, True),
+        "depth": (depth[:, None], 1.0, True),
+    }
+    for k, v in extra.items():
+        groups[k] = (v, 0.0, False)
+    return R.rasterize(
+        uv, depth, conic, radius, tiles, rect_min, rect_max,
+        inp["opacity"], groups, rcfg, abs_sink=abs_sink,
+    )
+
+
+def init_train_state(
+    cfg: TrainerConfig, scene: GaussianScene, seed: int = 0
+) -> TrainState:
+    optimizer = _optim.make_optimizer(cfg.optim)
+    opt_state = optimizer.init(scene.params)
+    return TrainState(
+        scene=scene,
+        opt_state=opt_state,
+        densify_state=_density.init_state(scene.alive.shape[0]),
+        step=jnp.zeros((), jnp.int32),
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def should_densify(cfg: TrainerConfig, step: int) -> bool:
+    """Host-side schedule — parity with `update_structure`/`densification`
+    (`gs_optimizer.py:110-184`)."""
+    d = cfg.densify
+    return (
+        d.densify_start_iter < step < d.densify_stop_iter
+        and step % d.duplicate_interval == 0
+    )
+
+
+def should_reset_opacity(cfg: TrainerConfig, step: int) -> bool:
+    """One-step-deferred opacity reset (`gs_optimizer.py:127-133`)."""
+    d = cfg.densify
+    return step > 1 and step % d.opacity_reset_interval == 1

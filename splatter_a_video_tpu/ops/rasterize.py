@@ -42,6 +42,7 @@ class RasterizeConfig:
     ortho: bool = True              # production path is orthographic
     sh_degree: int = 3              # render_iter always evaluates degree 3
     K_idx: int = 0                  # per-pixel first-K id capture (0 = off)
+    sort_mode: str = "packed"       # "packed" (fast) | "exact" (parity tests)
     interpret: Optional[bool] = None
 
 
@@ -103,6 +104,7 @@ def rasterize(
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         chunk=cfg.chunk,
         block=cfg.block,
+        sort_mode=cfg.sort_mode,
     )
     if abs_sink is None:
         abs_sink = jnp.zeros((N, 2), feats.dtype)

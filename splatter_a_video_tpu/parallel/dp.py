@@ -1,0 +1,156 @@
+"""Data-parallel training over frame pairs (shard_map + psum over ICI).
+
+The reference's `--distributed` flag sets up NCCL DDP that never wraps the
+model (`/root/reference/src/train.py:210-213`, SURVEY.md §2.12) — its real
+batch axis is the (t1, t2) frame-pair sample. The TPU-native design:
+
+  * params/optimizer state replicated on every chip;
+  * a batch of B frame pairs sharded over the "dp" mesh axis;
+  * each chip renders + differentiates its own pair inside `shard_map`
+    (the Pallas rasterizer runs per-chip on local shapes — no cross-chip
+    communication inside the renderer);
+  * gradients and metrics `pmean`/`pmax` over ICI; the Adam update is
+    computed redundantly per chip on identical reduced grads (standard DP);
+  * densification statistics reduce like the reference's `render_batch`
+    (visibility = any, radii = max, `dptr_ortho_enhanced.py:428-433`;
+    grad norms sum over the batch like `accumulate_viewspace_grad`).
+
+Gaussian-axis sharding of the splat itself is deliberately NOT used:
+front-to-back compositing is order-dependent across shards, so DP over
+pairs (matching the reference's batch semantics) is the communication-free
+scaling axis; a clip fits one chip (reference: 10 GB).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.gaussians import GaussianScene
+from ..train import density as _density
+from ..train import losses as _losses
+from ..train import optim as _optim
+from ..train import trainer as _trainer
+
+
+def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh):
+    """Build the data-parallel train step.
+
+    Returns a function (state, batch) -> (state, metrics) where every batch
+    leaf has a leading axis of size mesh.devices.size (one frame pair per
+    chip), state is replicated.
+    """
+    rcfg = cfg.raster_cfg()
+    extr_j = jnp.asarray(extr, jnp.float32)
+    optimizer = _optim.make_optimizer(cfg.optim)
+    ndev = mesh.devices.size
+
+    def per_pair_loss(params, aux, scene_cfg, batch: _trainer.Batch, key):
+        scene = GaussianScene(params=params, aux=aux, cfg=scene_cfg)
+        N = scene.alive.shape[0]
+        inp1 = _trainer.scene_render_inputs(scene, batch.t1)
+        pos2 = scene.get_position(batch.t2)
+        extra = {"track_gs": pos2}
+        for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+            if name in inp1:
+                extra[name] = inp1[name]
+
+        def inner(params2, uv_sink, abs_sink):
+            sc = GaussianScene(params=params2, aux=aux, cfg=scene_cfg)
+            inp = _trainer.scene_render_inputs(sc, batch.t1)
+            p2 = sc.get_position(batch.t2)
+            ex = {"track_gs": p2}
+            for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+                if name in inp:
+                    ex[name] = inp[name]
+            out = _trainer._render_with_sinks(
+                inp, extr_j, rcfg, ex, cfg.white_bg, uv_sink, abs_sink
+            )
+            pred_rgb = out.features["rgb"]
+            loss_rgb = _losses.rgb_loss(pred_rgb, batch.rgb1, cfg.lambda_dssim)
+            vis, _, conf = _losses.parse_tapir_track_info(
+                batch.target_tracks[:, 2], batch.target_tracks[:, 3]
+            )
+            interval = jnp.abs(batch.t2 - batch.t1).astype(jnp.float32)
+            loss_flow = _losses.tracking_loss(
+                out.features["track_gs"], batch.query_px,
+                batch.target_tracks[:, :2], vis & batch.track_valid, conf,
+                interval, cfg.num_frames, cfg.height, cfg.width,
+                quantile=cfg.track_quantile,
+            )
+            loss_depth = _losses.depth_loss_dpt(
+                out.features["depth"][..., 0], batch.depth1
+            )
+            loss_arap = _losses.arap_loss(
+                inp["position"], p2, key,
+                k=cfg.arap_knn, sample_num=cfg.arap_sample_num, alive=sc.alive,
+            )
+            loss = (
+                cfg.loss_rgb_weight * loss_rgb
+                + cfg.loss_flow_weight * loss_flow
+                + cfg.depth_loss_weight * loss_depth
+                + cfg.arap_weight * loss_arap
+            )
+            metrics = {
+                "loss": loss,
+                "loss_rgb": loss_rgb,
+                "psnr": _losses.psnr(pred_rgb, batch.rgb1),
+            }
+            return loss, (metrics, out.radius)
+
+        N = scene.alive.shape[0]
+        z = jnp.zeros((N, 2))
+        (grads, duv, _), (metrics, radius) = jax.grad(
+            inner, argnums=(0, 1, 2), has_aux=True
+        )(params, z, z)
+        return grads, duv, radius, metrics
+
+    from jax.experimental.shard_map import shard_map
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def dp_step(state: _trainer.TrainState, batch: _trainer.Batch):
+        # local batch has leading dim 1 (one pair per chip)
+        local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        key, sub = jax.random.split(state.key)
+        grads, duv, radius, metrics = per_pair_loss(
+            state.scene.params, state.scene.aux, state.scene.cfg, local, sub
+        )
+        # ICI reductions
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, "dp"), metrics)
+        duv = jax.lax.psum(duv, "dp")                    # grad-norm sums
+        radius_max = jax.lax.pmax(radius, "dp")          # radii = max
+        vis_any = jax.lax.pmax((radius > 0).astype(jnp.int32), "dp") > 0
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.scene.params, updates)
+        new_scene = state.scene.replace(params=new_params)
+
+        ndc_grad = duv * jnp.array([cfg.width / 2.0, cfg.height / 2.0])
+        dstate = _density.accumulate_stats(
+            state.densify_state, vis_any, radius_max,
+            jnp.linalg.norm(ndc_grad, axis=-1),
+        )
+        return (
+            _trainer.TrainState(new_scene, opt_state, dstate, state.step + 1, key),
+            metrics,
+        )
+
+    return dp_step
+
+
+def stack_batches(batches) -> _trainer.Batch:
+    """Stack B host batches into the [B, ...] device batch for dp_step."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)

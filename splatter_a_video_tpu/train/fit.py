@@ -1,0 +1,133 @@
+"""High-level clip fitting: data -> scene init -> training loop.
+
+TPU-native equivalent of `FragTrainer.__init__` + `read_data_simple` +
+the `train.py` main loop (`/root/reference/src/trainer_fragGS.py:136-339`,
+`src/train.py:54-215`): lift fg/bg 3D tracks from the clip, build the
+spline-based `gs_base` scene, then run the jitted step on a prefetched
+frame-pair stream with density control on the reference cadence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pairs import BatchBuilder, PairSampler, PairSamplerConfig, batch_stream
+from ..data.video_flow import VideoFlowData
+from ..models import camera as _camera
+from ..models.gaussians import GaussianScene, SceneConfig, create_scene
+from . import trainer as _trainer
+
+
+@dataclass(frozen=True)
+class FitConfig:
+    """End-to-end fit configuration (reference defaults)."""
+
+    num_iters: int = 20000                   # configs/config.txt:17
+    num_fg_samples: int = 10000              # read_data_simple tracks (fg)
+    num_bg_samples: int = 10000              # and bg (trainer_fragGS.py:256-339)
+    capacity_factor: float = 2.0             # slack over initial points
+    init_opacity: float = 0.5                # spline cloud init (:125)
+    traj: str = "cubic_spline"
+    render_attributes: Tuple[Tuple[str, int], ...] = (
+        ("mask_attribute", 1),
+        ("dino_attribute", 3),
+    )
+    num_track_samples: int = 4096
+    log_every: int = 100
+    seed: int = 0
+
+
+def build_scene_from_clip(
+    data: VideoFlowData, cfg: FitConfig
+) -> Tuple[GaussianScene, SceneConfig]:
+    """Lift tracks and initialize the spline `gs_base` scene — parity with
+    `read_data_simple` (`trainer_fragGS.py:256-339`): fg tracks + bg tracks
+    + bg border extension, colors from the query frames, spline fit on the
+    combined sequence."""
+    rng = np.random.RandomState(cfg.seed)
+    fg_tracks, *_, fg_colors = data.get_tracks_3d(
+        cfg.num_fg_samples, extract_fg=True, rng=rng
+    )
+    bg_tracks, *_, bg_colors = data.get_tracks_3d(
+        cfg.num_bg_samples, extract_fg=False, rng=rng
+    )
+    ext_tracks, ext_colors = data.extend_track3d(bg_tracks)
+
+    tracks = np.concatenate([fg_tracks, bg_tracks, ext_tracks], axis=0)  # [N,T,3]
+    colors = np.concatenate([fg_colors, bg_colors, ext_colors], axis=0)
+    # drop any nan tracks (reference filters nan rows,
+    # dynamic_gaussian_with_base_point_cloud.py:56)
+    ok = ~np.isnan(tracks).any(axis=(1, 2))
+    tracks, colors = tracks[ok], colors[ok]
+
+    track_seq = np.swapaxes(tracks, 0, 1)  # [T, N, 3]
+    N = track_seq.shape[1]
+    capacity = int(np.ceil(N * cfg.capacity_factor / 128) * 128)
+    scfg = SceneConfig(
+        capacity=capacity,
+        num_frames=data.num_frames,
+        traj=cfg.traj,
+        render_attributes=cfg.render_attributes,
+    )
+    scene = create_scene(
+        scfg,
+        track_seq[0],
+        colors,
+        init_opacity=cfg.init_opacity,
+        track_seq=track_seq if cfg.traj == "cubic_spline" else None,
+    )
+    return scene, scfg
+
+
+def fit_clip(
+    data: VideoFlowData,
+    fit_cfg: Optional[FitConfig] = None,
+    trainer_cfg: Optional[_trainer.TrainerConfig] = None,
+    callback: Optional[Callable[[int, Dict], None]] = None,
+) -> Tuple[_trainer.TrainState, List[Dict]]:
+    """Fit one clip end-to-end. Returns (final state, metric history)."""
+    fit_cfg = fit_cfg or FitConfig()
+    H, W = data.image_size
+    if trainer_cfg is None:
+        trainer_cfg = _trainer.TrainerConfig(
+            width=W, height=H, num_frames=data.num_frames,
+            num_track_samples=fit_cfg.num_track_samples,
+            max_steps=fit_cfg.num_iters,
+        )
+
+    scene, scfg = build_scene_from_clip(data, fit_cfg)
+    cam = _camera.canonical_camera(W, H)
+    train_step, density_step, opacity_reset = _trainer.make_train_step(
+        trainer_cfg, cam.extrinsic
+    )
+    state = _trainer.init_train_state(trainer_cfg, scene, seed=fit_cfg.seed)
+
+    sampler = PairSampler(PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed))
+    builder = BatchBuilder(data, fit_cfg.num_track_samples, seed=fit_cfg.seed)
+
+    history: List[Dict] = []
+    t_start = time.time()
+    for step, batch in enumerate(
+        batch_stream(sampler, builder, fit_cfg.num_iters), start=1
+    ):
+        state, metrics = train_step(state, batch)
+        if _trainer.should_densify(trainer_cfg, step):
+            state, dinfo = density_step(state)
+        if _trainer.should_reset_opacity(trainer_cfg, step):
+            state = opacity_reset(state)
+        if step % fit_cfg.log_every == 0 or step == fit_cfg.num_iters:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = step
+            m["alive"] = int(state.scene.num_alive)
+            m["wall_s"] = time.time() - t_start
+            history.append(m)
+            if callback:
+                callback(step, m)
+    return state, history

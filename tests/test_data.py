@@ -1,0 +1,111 @@
+"""Tests: synthetic clips, track lifting, pair sampling, batch assembly."""
+
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.data import pairs, synthetic, video_flow
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return synthetic.make_clip(synthetic.SyntheticClipConfig())
+
+
+class TestSynthetic:
+    def test_clip_shapes(self, clip):
+        assert clip.num_frames == 12
+        H, W = clip.image_size
+        assert (H, W) == (48, 64)
+        assert clip.frames[0].shape == (H, W, 3)
+        assert clip.get_depth(0).shape == (H, W)
+        # normalized depth range
+        d = np.stack([clip.get_depth(i) for i in range(clip.num_frames)])
+        assert d.min() >= 0.5 - 1e-5 and d.max() <= 2.0 + 1e-5
+
+    def test_trinary_masks(self, clip):
+        m = clip.get_mask(0)
+        vals = set(np.unique(m).tolist())
+        assert vals <= {-1.0, 0.0, 1.0}
+        assert (m == 1).sum() > 0 and (m == -1).sum() > 0
+
+    def test_tracks_consistent(self, clip):
+        """Track of a query point at the query frame is the point itself."""
+        tr = clip.load_target_tracks(3, [3])[:, 0]
+        qp = clip.load_target_tracks(3, [3])[:, 0, :2]
+        np.testing.assert_allclose(tr[:, :2], qp)
+        # target at another frame differs for fg points
+        tr2 = clip.load_target_tracks(3, [8])[:, 0, :2]
+        assert np.abs(tr2 - qp).max() > 0.5
+
+
+class TestLifting:
+    def test_get_tracks_3d_fg(self, clip):
+        t3d, vis, invis, conf, colors = clip.get_tracks_3d(200, extract_fg=True)
+        N, T, _ = t3d.shape
+        assert T == clip.num_frames and N > 10
+        assert colors.shape == (N, 3)
+        # xy in [-1, 1], depth in [0.5, 2]
+        assert np.abs(t3d[..., :2]).max() <= 1.5
+        assert t3d[..., 2].min() >= 0.4 and t3d[..., 2].max() <= 2.1
+        # fg tracks move
+        motion = np.abs(t3d[:, -1, :2] - t3d[:, 0, :2]).max()
+        assert motion > 0.01
+
+    def test_get_tracks_3d_bg(self, clip):
+        t3d, vis, invis, conf, colors = clip.get_tracks_3d(200, extract_fg=False)
+        # bg is static in the synthetic clip
+        motion = np.abs(t3d[:, -1, :2] - t3d[:, 0, :2]).max()
+        assert motion < 1e-3
+
+    def test_extend_track3d(self, clip):
+        t3d, *_ = clip.get_tracks_3d(100, extract_fg=False)
+        ext, cols = clip.extend_track3d(t3d, grid_size=8, margin=0.25)
+        assert ext.ndim == 3 and ext.shape[1] == clip.num_frames
+        assert len(ext) == len(cols) and len(ext) > 0
+
+    def test_bilinear_sample(self):
+        img = np.arange(12, dtype=np.float32).reshape(3, 4)
+        v = video_flow.bilinear_sample(img, np.array([[1.5, 1.0]]))
+        assert abs(float(v[0]) - 5.5) < 1e-6
+        # border clamp
+        v = video_flow.bilinear_sample(img, np.array([[-5.0, -5.0]]))
+        assert float(v[0]) == 0.0
+
+
+class TestPairs:
+    def test_sampler_schedule(self):
+        cfg = pairs.PairSamplerConfig(num_frames=10)
+        s = pairs.PairSampler(cfg)
+        t1s = [s.sample(i)[0] for i in range(20)]
+        assert t1s[:10] == list(range(10))
+
+    def test_curriculum_interval(self):
+        cfg = pairs.PairSamplerConfig(
+            num_frames=100, use_curriculum=True, start_interval=3,
+            interval_growth_steps=10,
+        )
+        s = pairs.PairSampler(cfg)
+        for step in [0, 5, 9]:
+            t1, t2 = s.sample(step)
+            assert abs(t2 - t1) <= 3
+        assert s.max_interval(25) == 5
+
+    def test_batch_builder(self, clip):
+        b = pairs.BatchBuilder(clip, num_track_samples=64)
+        batch = b.build(0, 5)
+        assert batch.rgb1.shape == (48, 64, 3)
+        assert batch.query_px.shape == (64, 2)
+        assert batch.target_tracks.shape == (64, 4)
+        assert batch.track_valid.dtype == bool
+        # valid entries have in-bounds query pixels
+        qp = batch.query_px[batch.track_valid]
+        assert (qp[:, 0] < 64).all() and (qp[:, 1] < 48).all()
+
+    def test_batch_stream(self, clip):
+        cfg = pairs.PairSamplerConfig(num_frames=clip.num_frames)
+        stream = pairs.batch_stream(
+            pairs.PairSampler(cfg), pairs.BatchBuilder(clip, 32), num_steps=5
+        )
+        batches = list(stream)
+        assert len(batches) == 5
+        assert int(batches[3].t1) == 3

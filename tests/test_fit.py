@@ -1,0 +1,52 @@
+"""End-to-end video fit smoke: synthetic clip -> spline scene -> training."""
+
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.data import synthetic
+from splatter_a_video_tpu.train import density, fit, optim, trainer
+
+
+@pytest.fixture(scope="module")
+def clip():
+    return synthetic.make_clip(synthetic.SyntheticClipConfig())
+
+
+class TestBuildScene:
+    def test_spline_scene_from_clip(self, clip):
+        cfg = fit.FitConfig(num_fg_samples=120, num_bg_samples=120)
+        scene, scfg = fit.build_scene_from_clip(clip, cfg)
+        assert scfg.traj == "cubic_spline"
+        n = int(scene.num_alive)
+        assert n >= 30  # tiny synthetic clip: strict visibility filters
+        assert "pos_cubic_coeff" in scene.params
+        # positions at t=0 lie in the canonical frustum
+        pos = np.asarray(scene.get_position(0))[:n]
+        assert np.abs(pos[:, :2]).max() <= 1.3
+        assert pos[:, 2].min() >= 0.4 and pos[:, 2].max() <= 2.1
+        # trajectories follow tracks: position changes over time for fg
+        p0 = np.asarray(scene.get_position(0))[:n]
+        p1 = np.asarray(scene.get_position(clip.num_frames - 1))[:n]
+        assert np.abs(p1 - p0).max() > 0.01
+
+
+class TestFitClip:
+    def test_short_fit_improves(self, clip):
+        fcfg = fit.FitConfig(
+            num_iters=40, num_fg_samples=100, num_bg_samples=100,
+            num_track_samples=64, log_every=10,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=64, height=48, num_frames=clip.num_frames,
+            num_track_samples=64, max_intersections=1 << 14,
+            arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=40),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        state, history = fit.fit_clip(clip, fcfg, tcfg)
+        assert len(history) == 4
+        assert int(state.step) == 40
+        first, last = history[0], history[-1]
+        assert np.isfinite(last["loss"])
+        assert last["loss"] < first["loss"], (first["loss"], last["loss"])
+        assert last["psnr"] > first["psnr"] - 0.5  # should not degrade

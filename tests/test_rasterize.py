@@ -43,7 +43,9 @@ def project_scene(xyz, scale, quat):
 
 def pallas_render(uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
                   bg=(1.0, 1.0, 1.0), K_idx=0, alpha_grad_mask=None):
-    b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
+    # exact sort: these tests assert bit-parity with the sequential oracle
+    b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H,
+                             max_intersections=1 << 14, sort_mode="exact")
     packed = rasterize_tpu.pack_intersections(
         uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)), b.gid
     )
@@ -59,7 +61,10 @@ class TestBinning:
         key = jax.random.PRNGKey(0)
         xyz, scale, quat, opacity, feats = make_scene(key)
         uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
-        b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
+        b = binning.bin_and_sort(
+            depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14,
+            sort_mode="exact",
+        )
         gid = np.asarray(b.gid)
         nch = np.asarray(b.tile_nchunks)
         cst = np.asarray(b.tile_chunk_start)
@@ -217,3 +222,28 @@ class TestSplatGradients:
         g_off = jax.grad(lambda o: loss(o, (0.0, 0.0, 0.0)))(opacity)
         assert np.abs(np.asarray(g_on)).sum() > 0
         np.testing.assert_allclose(np.asarray(g_off), 0.0, atol=1e-7)
+
+
+class TestPackedSort:
+    def test_packed_matches_exact_image(self):
+        """The packed int32 sort key must reproduce the exact-sort image
+        (up to depth ties below 20-bit precision, absent in random data)."""
+        key = jax.random.PRNGKey(11)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+
+        imgs = {}
+        for mode in ("exact", "packed"):
+            b = binning.bin_and_sort(
+                depth, tiles, rmin, rmax, W, H,
+                max_intersections=1 << 14, sort_mode=mode,
+            )
+            packed = rasterize_tpu.pack_intersections(
+                uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)), b.gid
+            )
+            img, _, _, _ = rasterize_tpu.splat_packed(
+                packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
+                C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+            )
+            imgs[mode] = np.asarray(img)
+        np.testing.assert_allclose(imgs["packed"], imgs["exact"], atol=1e-5)

@@ -1,0 +1,354 @@
+"""Inference & editing capabilities over a trained video-Gaussian scene.
+
+TPU-native equivalents of `FragTrainer`'s ~20 inference/editing entry points
+(`/root/reference/src/trainer_fragGS.py:999-1676`): video rendering, point
+tracking + occlusion, frame interpolation, novel-view & stereo synthesis,
+appearance editing via pixel->Gaussian lookup, fg/bg layer splitting, and
+object duplication. Each capability is a pure function over the scene
+pytree; renders reuse one jit-cached render function per (camera, config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import camera as _camera
+from .models.gaussians import GaussianScene
+from .ops import rasterize as _raster
+from .ops.quaternion import inverse_sigmoid, quat_normalize
+from .train.losses import denormalize_coords
+
+# --------------------------------------------------------------------------
+# rendering
+# --------------------------------------------------------------------------
+
+
+def _scene_inputs(scene: GaussianScene, t, extra_names: Sequence[str]):
+    inp = dict(
+        position=scene.get_position(t),
+        scaling=scene.get_scaling(),
+        rotation=scene.get_rotation(t),
+        opacity=scene.get_opacity(),
+        shs=scene.get_shs(),
+    )
+    extra = {}
+    for n in extra_names:
+        if n == "pos_poly_feat":
+            v = scene.params[n]
+            extra[n] = v.reshape(v.shape[0], -1)
+        elif n in scene.params:
+            extra[n] = scene.get_render_attribute(n)
+    return inp, extra
+
+
+@partial(jax.jit, static_argnames=("rcfg", "extra_names", "bg"))
+def render_frame(
+    scene: GaussianScene,
+    t,
+    extr: jnp.ndarray,
+    rcfg: _raster.RasterizeConfig,
+    extra_names: Tuple[str, ...] = (),
+    bg: float = 1.0,
+):
+    """Render one frame (rgb/depth + named attributes) at (possibly
+    fractional) time t — the `render_video` / `get_interpolation_result`
+    primitive (`trainer_fragGS.py:1264-1341,1584-1612`)."""
+    inp, extra = _scene_inputs(scene, t, extra_names)
+    return _raster.render_gaussians(
+        inp["position"], inp["scaling"], inp["rotation"], inp["opacity"],
+        inp["shs"], extr, rcfg, extra_features=extra, bg_color=bg,
+    )
+
+
+def render_video(
+    scene: GaussianScene,
+    cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    times: Sequence[float],
+    extra_names: Tuple[str, ...] = (),
+) -> Dict[str, np.ndarray]:
+    """Render a frame sequence; one compile, scanned over times on host.
+    Fractional times give slow-motion interpolation for free (the
+    trajectory bases are continuous in t)."""
+    extr = jnp.asarray(cam.extrinsic)
+    rgbs, depths, extras = [], [], {n: [] for n in extra_names}
+    for t in times:
+        out = render_frame(scene, jnp.asarray(t, jnp.float32), extr, rcfg, extra_names)
+        rgbs.append(np.clip(np.asarray(out.features["rgb"]), 0, 1))
+        depths.append(np.asarray(out.features["depth"][..., 0]))
+        for n in extra_names:
+            extras[n].append(np.asarray(out.features[n]))
+    res = {"rgb": np.stack(rgbs), "depth": np.stack(depths)}
+    for n in extra_names:
+        res[n] = np.stack(extras[n])
+    return res
+
+
+def render_nvs(
+    scene: GaussianScene,
+    base_cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    times: Sequence[float],
+    radius: float = 0.15,
+    at: Tuple[float, float, float] = (0.0, 0.0, 1.0),
+) -> np.ndarray:
+    """Orbit novel-view synthesis: one orbit camera per frame — parity with
+    `get_nvs_rendered_imgs` (`trainer_fragGS.py:1123-1155`)."""
+    cams = _camera.orbit_cameras(base_cam, len(times), radius=radius, at=at)
+    frames = []
+    for t, cam in zip(times, cams):
+        out = render_frame(
+            scene, jnp.asarray(t, jnp.float32), jnp.asarray(cam.extrinsic), rcfg
+        )
+        frames.append(np.clip(np.asarray(out.features["rgb"]), 0, 1))
+    return np.stack(frames)
+
+
+ANAGLYPH_MATRICES = {
+    # left 3x3 | right 3x3 acting on (rgb_left, rgb_right) -> rgb
+    # (`trainer_fragGS.py:1202-1209`)
+    "true": ([[0.299, 0.587, 0.114], [0, 0, 0], [0, 0, 0]],
+             [[0, 0, 0], [0, 0, 0], [0.299, 0.587, 0.114]]),
+    "color": ([[1, 0, 0], [0, 0, 0], [0, 0, 0]],
+              [[0, 0, 0], [0, 1, 0], [0, 0, 1]]),
+    "optimized": ([[0, 0.7, 0.3], [0, 0, 0], [0, 0, 0]],
+                  [[0, 0, 0], [0, 1, 0], [0, 0, 1]]),
+}
+
+
+def render_stereo(
+    scene: GaussianScene,
+    base_cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    times: Sequence[float],
+    baseline: float = 0.1,
+    at: Tuple[float, float, float] = (0.0, 0.0, 2.5),
+    mode: str = "optimized",
+) -> np.ndarray:
+    """Anaglyph stereo video — parity with `get_stereo_rendered_imgs`
+    (`trainer_fragGS.py:1158-1253`): two cameras on a 0.05-radius baseline
+    looking at (0,0,2.5), mixed with the 'optimized' anaglyph matrix."""
+    left, right = _camera.stereo_cameras(base_cam, baseline=baseline, at=at)
+    ml, mr = ANAGLYPH_MATRICES[mode]
+    ml = np.asarray(ml, np.float32)
+    mr = np.asarray(mr, np.float32)
+    frames = []
+    for t in times:
+        tl = render_frame(scene, jnp.asarray(t, jnp.float32), jnp.asarray(left.extrinsic), rcfg)
+        tr = render_frame(scene, jnp.asarray(t, jnp.float32), jnp.asarray(right.extrinsic), rcfg)
+        il = np.clip(np.asarray(tl.features["rgb"]), 0, 1)
+        ir = np.clip(np.asarray(tr.features["rgb"]), 0, 1)
+        frames.append(il @ ml.T + ir @ mr.T)
+    return np.stack(frames)
+
+
+# --------------------------------------------------------------------------
+# tracking inference
+# --------------------------------------------------------------------------
+
+
+def track_correspondences(
+    scene: GaussianScene,
+    t1: float,
+    px1s: np.ndarray,
+    t2: float,
+    cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    occlusion_eps: float = 0.02,
+):
+    """Predict px2 correspondences + occlusion for query pixels — parity
+    with `get_correspondences_and_occlusion_masks_for_pixels_core`
+    (`trainer_fragGS.py:1644-1676`): blend the t2 Gaussian positions into
+    frame t1's rasterization ("track_gs"), sample the map at the query
+    pixels, and decide occlusion by comparing the tracked point's depth at
+    t2 against the rendered depth map of frame t2 at the predicted pixel.
+
+    Note: the reference feeds *pixel* coordinates into its final
+    `grid_sample` (which expects normalized coords,
+    `trainer_fragGS.py:1670-1672`); we sample at properly normalized
+    coordinates and use an epsilon tolerance — occluded means the t2
+    surface is closer than the tracked point.
+
+    Returns (px2s [N,2] pixel coords, occluded [N] bool).
+    """
+    H, W = cam.height, cam.width
+    extr = jnp.asarray(cam.extrinsic)
+    pos2 = scene.get_position(jnp.asarray(t2, jnp.float32))
+    inp, _ = _scene_inputs(scene, jnp.asarray(t1, jnp.float32), ())
+    out = _raster.render_gaussians(
+        inp["position"], inp["scaling"], inp["rotation"], inp["opacity"],
+        inp["shs"], extr, rcfg, extra_features={"track_gs": pos2},
+    )
+    track_map = np.asarray(out.features["track_gs"])  # [H, W, 3]
+    pred_2d = np.asarray(
+        denormalize_coords(jnp.asarray(track_map[..., :2]), H, W)
+    )  # [H, W, 2] pixel coords in frame t2
+    from .data.video_flow import bilinear_sample
+
+    px2s = bilinear_sample(pred_2d, px1s)           # [N, 2]
+    track_depth = bilinear_sample(track_map[..., 2], px1s)  # [N]
+
+    out2 = render_frame(scene, jnp.asarray(t2, jnp.float32), extr, rcfg)
+    depth2 = np.asarray(out2.features["depth"][..., 0])
+    surf_depth = bilinear_sample(depth2, px2s)
+    occluded = surf_depth < (track_depth - occlusion_eps)
+    return px2s, occluded
+
+
+# --------------------------------------------------------------------------
+# editing / layers
+# --------------------------------------------------------------------------
+
+
+def select_gaussians_by_mask(
+    scene: GaussianScene,
+    mask: np.ndarray,
+    cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    t: float = 0.0,
+    K_idx: int = 10,
+) -> np.ndarray:
+    """Pixel->Gaussian lookup: ids of the first-K contributors under a
+    pixel mask — the selection step of `optimize_appearance_from_mask`
+    (`trainer_fragGS.py:1010-1015`). Returns unique ids (np int array)."""
+    rcfg_k = dataclasses.replace(rcfg, K_idx=K_idx)
+    out = render_frame(scene, jnp.asarray(t, jnp.float32), jnp.asarray(cam.extrinsic), rcfg_k)
+    gs_idx = np.asarray(out.gs_idx)  # [H, W, K]
+    sel = np.unique(gs_idx[mask > 0])
+    return sel[sel >= 0]
+
+
+def optimize_appearance(
+    scene: GaussianScene,
+    selected: np.ndarray,
+    target_img: np.ndarray,
+    cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    t: float = 0.0,
+    steps: int = 1000,
+    lr: float = 2.5e-3,
+    loss_tol: float = 1e-4,
+) -> GaussianScene:
+    """Re-optimize the SH coefficients of selected Gaussians against an
+    edited image — parity with `optimize_appearance_from_mask`
+    (`trainer_fragGS.py:1017-1044`): Adam(lr=2.5e-3) on the selected shs
+    only, MSE to the target, early stop below 1e-4.
+
+    Returns the edited scene (shs substituted at `selected`).
+    """
+    import optax
+
+    extr = jnp.asarray(cam.extrinsic)
+    tj = jnp.asarray(t, jnp.float32)
+    target = jnp.asarray(target_img, jnp.float32)
+    sel = jnp.asarray(selected, jnp.int32)
+
+    fdc0 = scene.params["features_dc"][sel]
+    frest0 = scene.params["features_rest"][sel]
+    opt = optax.adam(lr)
+
+    base_params = scene.params
+
+    @jax.jit
+    def step_fn(fdc, frest, opt_state):
+        def loss_fn(fdc, frest):
+            params = dict(base_params)
+            params["features_dc"] = params["features_dc"].at[sel].set(fdc)
+            params["features_rest"] = params["features_rest"].at[sel].set(frest)
+            sc = GaussianScene(params=params, aux=scene.aux, cfg=scene.cfg)
+            inp, _ = _scene_inputs(sc, tj, ())
+            out = _raster.render_gaussians(
+                inp["position"], inp["scaling"], inp["rotation"],
+                inp["opacity"], inp["shs"], extr, rcfg,
+            )
+            return jnp.mean((out.features["rgb"] - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(fdc, frest)
+        updates, opt_state = opt.update(grads, opt_state)
+        fdc = fdc + updates[0]
+        frest = frest + updates[1]
+        return fdc, frest, opt_state, loss
+
+    fdc, frest = fdc0, frest0
+    opt_state = opt.init((fdc0, frest0))
+    for i in range(steps):
+        fdc, frest, opt_state, loss = step_fn(fdc, frest, opt_state)
+        if float(loss) < loss_tol:
+            break
+
+    params = dict(scene.params)
+    params["features_dc"] = params["features_dc"].at[sel].set(fdc)
+    params["features_rest"] = params["features_rest"].at[sel].set(frest)
+    return scene.replace(params=params)
+
+
+def split_layers(scene: GaussianScene, threshold: float = 0.5):
+    """fg/bg layer masks from the learned mask attribute — parity with
+    `render_part` (`trainer_fragGS.py:1310-1341`). Returns (fg_scene,
+    bg_scene) with the complementary halves' alive masks cleared."""
+    m = np.asarray(jax.nn.sigmoid(scene.params["mask_attribute"][:, 0]))
+    fg = jnp.asarray(m > threshold) & scene.alive
+    bg = jnp.asarray(m <= threshold) & scene.alive
+
+    def with_alive(s, mask):
+        aux = dict(s.aux)
+        aux["alive"] = mask
+        return s.replace(aux=aux)
+
+    return with_alive(scene, fg), with_alive(scene, bg)
+
+
+def add_fg_copy(
+    scene: GaussianScene,
+    delta_pos: np.ndarray,
+    scale: float = 1.0,
+    threshold: float = 0.5,
+) -> GaussianScene:
+    """Duplicate the fg layer with a position offset + scaling about its
+    centroid — parity with `add_fg` (`trainer_fragGS.py:1344-1405`).
+    The copy is written into free capacity slots (truncated if full)."""
+    m = np.asarray(jax.nn.sigmoid(scene.params["mask_attribute"][:, 0]))
+    alive = np.asarray(scene.alive)
+    fg = (m > threshold) & alive
+    fg_idx = np.nonzero(fg)[0]
+    free_idx = np.nonzero(~alive)[0]
+    n = min(len(fg_idx), len(free_idx))
+    fg_idx, free_idx = fg_idx[:n], free_idx[:n]
+
+    params = {k: np.array(v) for k, v in scene.params.items()}  # writable copies
+    for k, v in params.items():
+        src = v[fg_idx]
+        if k == "position":
+            c = src.mean(axis=0, keepdims=True)
+            src = (src - c) * scale + c + np.asarray(delta_pos, np.float32)
+        v[free_idx] = src
+        params[k] = v
+    aux = dict(scene.aux)
+    new_alive = alive.copy()
+    new_alive[free_idx] = True
+    aux["alive"] = jnp.asarray(new_alive)
+    return scene.replace(
+        params={k: jnp.asarray(v) for k, v in params.items()}, aux=aux
+    )
+
+
+def gaussian_trajectories(
+    scene: GaussianScene, times: Sequence[float], sample: int = 512,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """[S, T, 3] sampled Gaussian center trajectories — data behind
+    `draw_gs_trajectory` (`trainer_fragGS.py:1408-1480`)."""
+    rng = rng or np.random.RandomState(0)
+    alive_idx = np.nonzero(np.asarray(scene.alive))[0]
+    sel = rng.choice(alive_idx, min(sample, len(alive_idx)), replace=False)
+    out = []
+    for t in times:
+        p = np.asarray(scene.get_position(jnp.asarray(t, jnp.float32)))
+        out.append(p[sel])
+    return np.stack(out, axis=1)

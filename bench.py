@@ -95,7 +95,7 @@ def main():
 
     configs = [
         # (W, H, N, max_intersections, label)
-        (854, 480, 100_000, 1 << 21, "480p_100k"),
+        (854, 480, 100_000, 1 << 19, "480p_100k"),
         (640, 360, 50_000, 1 << 20, "360p_50k"),
         (320, 240, 20_000, 1 << 18, "240p_20k"),
     ]

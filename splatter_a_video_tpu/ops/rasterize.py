@@ -93,27 +93,10 @@ def rasterize(
         bg.extend([float(b)] * vals.shape[1])
         mask.extend([1.0 if og else 0.0] * vals.shape[1])
 
-    b = _binning.bin_and_sort(
-        depth,
-        tiles,
-        rect_min,
-        rect_max,
-        cfg.width,
-        cfg.height,
-        max_intersections=cfg.max_intersections,
-        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-        chunk=cfg.chunk,
-        block=cfg.block,
-        sort_mode=cfg.sort_mode,
-    )
     if abs_sink is None:
         abs_sink = jnp.zeros((N, 2), feats.dtype)
-    packed = _rtpu.pack_intersections(uv, conic, opacity, feats, abs_sink, b.gid)
-    img, finalT, ncontrib, gs_idx = _rtpu.splat_packed(
-        packed,
-        b.gid,
-        b.tile_nchunks,
-        b.tile_chunk_start,
+    img, finalT, ncontrib, gs_idx, nint = _rtpu.splat_scene(
+        uv, conic, opacity, feats, abs_sink, depth, tiles, rect_min, rect_max,
         C=C,
         W=cfg.width,
         H=cfg.height,
@@ -121,6 +104,9 @@ def rasterize(
         alpha_grad_mask=tuple(mask),
         K_idx=cfg.K_idx,
         chunk=cfg.chunk,
+        max_intersections=cfg.max_intersections,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        sort_mode=cfg.sort_mode,
         interpret=cfg.interpret,
     )
 
@@ -138,7 +124,7 @@ def rasterize(
         uv=uv,
         depth=depth,
         radius=radius,
-        num_intersections=b.num_intersections,
+        num_intersections=nint,
     )
 
 

@@ -61,7 +61,7 @@ class TrainerConfig:
     num_track_samples: int = 4096      # fixed per-step track batch (padded)
     track_quantile: float = 0.98
     # rasterizer
-    max_intersections: int = 1 << 21
+    max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 32
     white_bg: bool = True
     # schedule

@@ -1,0 +1,124 @@
+"""Two-tier configuration: CLI flags + YAML model config.
+
+Parity with the reference's config machinery (SURVEY.md §2.1):
+  * run-level flags via configargparse-style `--config` files + CLI
+    (`/root/reference/src/config.py:4-93`);
+  * model/optimizer/renderer-level YAML parsed into typed dataclasses
+    (`src/pointrix/utils/config.py:13-118`, OmegaConf there; plain yaml +
+    dataclasses here);
+  * per-step-resolvable scalars `C(value, step)`: a YAML value may be a
+    list [start_step, start_value, end_step, end_value] linearly
+    interpolated over steps (`pointrix/utils/config.py:32-53`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import shlex
+from typing import Any, Dict, Optional, Type, TypeVar
+
+T = TypeVar("T")
+
+
+def C(value: Any, step: float = 0.0) -> float:
+    """Scalar schedule resolver — parity with `C()` (`utils/config.py:32-53`):
+    plain numbers pass through; [start_step, start_val, end_step, end_val]
+    linearly interpolates by step."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    if isinstance(value, (list, tuple)) and len(value) == 4:
+        s0, v0, s1, v1 = map(float, value)
+        if step <= s0:
+            return v0
+        if step >= s1:
+            return v1
+        t = (step - s0) / max(s1 - s0, 1e-9)
+        return v0 + (v1 - v0) * t
+    raise ValueError(f"unresolvable config scalar: {value!r}")
+
+
+def parse_structured(cls: Type[T], cfg: Optional[Dict[str, Any]]) -> T:
+    """Dict -> (nested) dataclass, ignoring unknown keys — the lenient
+    behavior of `parse_structured` (`utils/config.py:113-118`)."""
+    cfg = cfg or {}
+    if not dataclasses.is_dataclass(cls):
+        raise TypeError(f"{cls} is not a dataclass")
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in cfg.items():
+        if k not in fields:
+            continue
+        ftype = fields[k].type
+        fval = fields[k].default_factory() if fields[k].default_factory is not dataclasses.MISSING else None  # type: ignore
+        if dataclasses.is_dataclass(fval.__class__) and isinstance(v, dict) and fval is not None:
+            kwargs[k] = parse_structured(fval.__class__, v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def make_arg_parser() -> argparse.ArgumentParser:
+    """CLI flags mirroring the reference's surface (`src/config.py:4-93`):
+    the reference's `python train.py --config configs/config.txt --seq_name X
+    --num_imgs N` invocation keeps working."""
+    p = argparse.ArgumentParser("splatter_a_video_tpu")
+    p.add_argument("--config", type=str, default=None,
+                   help="key=value flag file (configargparse style)")
+    p.add_argument("--datadir", type=str, default="")
+    p.add_argument("--seq_name", type=str, default="clip")
+    p.add_argument("--out_dir", type=str, default="out")
+    p.add_argument("--num_imgs", type=int, default=250)
+    p.add_argument("--num_iters", type=int, default=20000)
+    p.add_argument("--loss_rgb_weight", type=float, default=10.0)
+    p.add_argument("--loss_flow_weight", type=float, default=2.0)
+    p.add_argument("--gs_config_file", type=str, default=None,
+                   help="model-level YAML (frag_gs_v10.yaml equivalent)")
+    p.add_argument("--num_track_samples", type=int, default=4096)
+    p.add_argument("--capacity_factor", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--i_print", type=int, default=100)
+    p.add_argument("--i_img", type=int, default=500)
+    p.add_argument("--i_weight", type=int, default=5000)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the built-in synthetic clip (no datadir needed)")
+    p.add_argument("--distributed", type=int, default=0,
+                   help="data-parallel over all local devices")
+    return p
+
+
+def parse_flag_file(path: str) -> Dict[str, str]:
+    """Parse a `key = value` flag file (the reference's config.txt format)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = make_arg_parser()
+    args, _ = p.parse_known_args(argv)
+    if args.config:
+        defaults = parse_flag_file(args.config)
+        known = {a.dest for a in p._actions}
+        p.set_defaults(**{k: v for k, v in defaults.items() if k in known})
+        args, _ = p.parse_known_args(argv)
+        # re-coerce types for file-sourced values
+        for a in p._actions:
+            if a.dest in defaults and a.type is not None:
+                setattr(args, a.dest, a.type(getattr(args, a.dest)))
+    return args

@@ -42,18 +42,18 @@ def project_scene(xyz, scale, quat):
 
 
 def pallas_render(uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
-                  bg=(1.0, 1.0, 1.0), K_idx=0, alpha_grad_mask=None):
+                  bg=(1.0, 1.0, 1.0), K_idx=0, alpha_grad_mask=None,
+                  abs_sink=None, sort_mode="exact"):
     # exact sort: these tests assert bit-parity with the sequential oracle
-    b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H,
-                             max_intersections=1 << 14, sort_mode="exact")
-    packed = rasterize_tpu.pack_intersections(
-        uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)), b.gid
-    )
-    return rasterize_tpu.splat_packed(
-        packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
+    if abs_sink is None:
+        abs_sink = jnp.zeros((uv.shape[0], 2))
+    img, finalT, ncontrib, gs_idx, nint = rasterize_tpu.splat_scene(
+        uv, conic, opacity, feats, abs_sink, depth, tiles, rmin, rmax,
         C=feats.shape[1], W=W, H=H, bg=bg,
         alpha_grad_mask=alpha_grad_mask, K_idx=K_idx,
+        max_intersections=1 << 14, sort_mode=sort_mode,
     )
+    return img, finalT, ncontrib, gs_idx
 
 
 class TestBinning:
@@ -61,26 +61,30 @@ class TestBinning:
         key = jax.random.PRNGKey(0)
         xyz, scale, quat, opacity, feats = make_scene(key)
         uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
-        b = binning.bin_and_sort(
-            depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14,
-            sort_mode="exact",
+        channels = jnp.concatenate(
+            [uv, conic, opacity[:, None], feats, jnp.zeros((uv.shape[0], 2))],
+            axis=1,
+        )
+        b = binning.bin_sort_pack(
+            depth, tiles, rmin, rmax, channels, W, H,
+            max_intersections=1 << 14, sort_mode="exact",
         )
         gid = np.asarray(b.gid)
-        nch = np.asarray(b.tile_nchunks)
-        cst = np.asarray(b.tile_chunk_start)
+        edges = np.asarray(b.edges)
+        packed = np.asarray(b.packed)
         tgx, tgy = projection.tile_grid(W, H)
         depth_np = np.asarray(depth)
         rmin_np, rmax_np = np.asarray(rmin), np.asarray(rmax)
         radius_np = np.asarray(radius)
+        uv_np = np.asarray(uv)
 
         total_expected = int(np.asarray(tiles).sum())
         assert int(b.num_intersections) == total_expected
+        assert edges[-1] == total_expected  # all real entries before sentinels
 
         for t in range(tgx * tgy):
             ty, tx = divmod(t, tgx)
-            start, n = cst[t] * 128, nch[t] * 128
-            slot_ids = gid[start : start + n]
-            real = slot_ids[slot_ids >= 0]
+            seg = gid[edges[t] : edges[t + 1]]
             # brute-force expectation: all gaussians whose rect covers tile t
             exp = [
                 i
@@ -89,12 +93,20 @@ class TestBinning:
                 and rmin_np[i, 0] <= tx < rmax_np[i, 0]
                 and rmin_np[i, 1] <= ty < rmax_np[i, 1]
             ]
-            assert sorted(real.tolist()) == sorted(exp), f"tile {t}"
+            assert sorted(seg.tolist()) == sorted(exp), f"tile {t}"
             # depth-ascending order
-            d = depth_np[real]
+            d = depth_np[seg]
             assert (np.diff(d) >= 0).all(), f"tile {t} not depth sorted"
-            # padding slots come after real ones
-            assert (slot_ids[len(real):] == -1).all()
+            # packed channels match the owning gaussians (uv rows)
+            np.testing.assert_allclose(
+                packed[0, edges[t] : edges[t + 1]], uv_np[seg, 0], atol=1e-6
+            )
+
+        # chunk_base covers each tile's chunk count (+1 for aligned-down walk)
+        counts = edges[1:] - edges[:-1]
+        cb = np.asarray(b.chunk_base)
+        expected = np.where(counts > 0, -(-counts // 128) + 1, 0)
+        np.testing.assert_array_equal(np.diff(cb), expected)
 
 
 class TestSplatParity:
@@ -186,15 +198,11 @@ class TestSplatGradients:
         key = jax.random.PRNGKey(6)
         xyz, scale, quat, opacity, feats = make_scene(key, opacity_max=0.85)
         uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
-        b = binning.bin_and_sort(depth, tiles, rmin, rmax, W, H, max_intersections=1 << 14)
 
         def loss(abs_sink, uv):
-            packed = rasterize_tpu.pack_intersections(
-                uv, conic, opacity, feats, abs_sink, b.gid
-            )
-            img, _, _, _ = rasterize_tpu.splat_packed(
-                packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
-                C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+            img, _, _, _ = pallas_render(
+                uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
+                abs_sink=abs_sink,
             )
             return jnp.sum(img**2)
 
@@ -234,16 +242,9 @@ class TestPackedSort:
 
         imgs = {}
         for mode in ("exact", "packed"):
-            b = binning.bin_and_sort(
-                depth, tiles, rmin, rmax, W, H,
-                max_intersections=1 << 14, sort_mode=mode,
-            )
-            packed = rasterize_tpu.pack_intersections(
-                uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)), b.gid
-            )
-            img, _, _, _ = rasterize_tpu.splat_packed(
-                packed, b.gid, b.tile_nchunks, b.tile_chunk_start,
-                C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+            img, _, _, _ = pallas_render(
+                uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats,
+                sort_mode=mode,
             )
             imgs[mode] = np.asarray(img)
         np.testing.assert_allclose(imgs["packed"], imgs["exact"], atol=1e-5)

@@ -65,20 +65,35 @@ class PairSampler:
 
 
 class BatchBuilder:
-    """Assemble fixed-shape `Batch`es from a `VideoFlowData` clip."""
+    """Assemble fixed-shape `Batch`es from a `VideoFlowData` clip.
+
+    When the clip's tracks live on disk, the per-step track IO +
+    subsampling runs through the native C++ loader (mmap'd .npy files,
+    `native/sav_loader.cpp`); in-memory clips use the numpy path.
+    """
 
     def __init__(
         self,
         data: VideoFlowData,
         num_track_samples: int = 4096,
         seed: int = 0,
+        use_native: bool = True,
     ):
         self.data = data
         self.P = num_track_samples
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         # cache per-query grid positions (queries are on the pixel grid,
         # trainer_fragGS.py:552-555)
         self._query_cache = {}
+        self._native = None
+        if use_native and data.tracks_dir and data.tracks is None:
+            try:
+                from .native_loader import NativeTrackLoader
+
+                self._native = NativeTrackLoader(data.tracks_dir, data.frame_names)
+            except Exception:
+                self._native = None
 
     def _query_pixels(self, t1: int) -> np.ndarray:
         if t1 not in self._query_cache:
@@ -86,19 +101,25 @@ class BatchBuilder:
         return self._query_cache[t1]
 
     def build(self, t1: int, t2: int) -> Batch:
-        qp_all = self._query_pixels(t1)               # [N, 2]
-        tt_all = self.data.load_target_tracks(t1, [t2])[:, 0, :]  # [N, 4]
-        N = len(qp_all)
         P = self.P
-        if N >= P:
-            sel = self.rng.choice(N, P, replace=False)
-            qp, tt = qp_all[sel], tt_all[sel]
-            valid = np.ones((P,), bool)
+        if self._native is not None:
+            step_seed = int(self.rng.randint(0, 2**31))
+            qp, tt, valid = self._native.build(t1, t2, P, step_seed)
         else:
-            pad = P - N
-            qp = np.concatenate([qp_all, np.zeros((pad, 2), np.float32)])
-            tt = np.concatenate([tt_all, np.zeros((pad, 4), np.float32)])
-            valid = np.concatenate([np.ones((N,), bool), np.zeros((pad,), bool)])
+            qp_all = self._query_pixels(t1)               # [N, 2]
+            tt_all = self.data.load_target_tracks(t1, [t2])[:, 0, :]  # [N, 4]
+            N = len(qp_all)
+            if N >= P:
+                sel = self.rng.choice(N, P, replace=False)
+                qp, tt = qp_all[sel], tt_all[sel]
+                valid = np.ones((P,), bool)
+            else:
+                pad = P - N
+                qp = np.concatenate([qp_all, np.zeros((pad, 2), np.float32)])
+                tt = np.concatenate([tt_all, np.zeros((pad, 4), np.float32)])
+                valid = np.concatenate(
+                    [np.ones((N,), bool), np.zeros((pad,), bool)]
+                )
 
         return Batch(
             t1=np.int32(t1),

@@ -88,3 +88,26 @@ if files:
     print(f"total device-op time: {total/1e3:.1f} ms over 3 iters", flush=True)
     for name, dur in top:
         print(f"{dur/1e3/3:9.2f} ms/iter  {name[:110]}", flush=True)
+
+# map hot fusion names to HLO ops
+c = render.lower(xyz, scale, quat, opacity, shs).compile()
+hlo = c.as_text()
+import re
+for fname in ["fusion.2", "fusion.1", "slice_reduce_fusion", "fusion.71", "fusion.77"]:
+    m = re.search(rf"^\s*%?{re.escape(fname)} (.*?)^\s*}}", hlo, re.M | re.S)
+    if m:
+        body = m.group(0)
+        ops = re.findall(r"= (?:\w+\[[^\]]*\]\{?[^ ]*\}?\s+)?(\w+)\(", body)
+        from collections import Counter
+        print(fname, "->", Counter(ops).most_common(8), flush=True)
+    else:
+        # fallback: find the fusion instruction line referencing a computation
+        m2 = re.search(rf"{re.escape(fname)} = [^\n]*calls=([\w.\-]+)", hlo)
+        print(fname, "calls", m2.group(1) if m2 else "?", flush=True)
+        if m2:
+            comp = m2.group(1)
+            m3 = re.search(rf"^%?{re.escape(comp)} [^\n]*{{(.*?)^}}", hlo, re.M | re.S)
+            if m3:
+                from collections import Counter
+                ops = re.findall(r"= (?:[\w\[\],\{\}\/]+\s+)?(\w[\w\-]*)\(", m3.group(1))
+                print("   ops:", Counter(ops).most_common(10), flush=True)

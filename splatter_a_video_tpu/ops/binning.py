@@ -69,21 +69,23 @@ class Binning(NamedTuple):
 
 
 def _fill_forward(mark: jnp.ndarray, vals: jnp.ndarray, length: int) -> jnp.ndarray:
-    """Segmented fill-forward via a log-shift loop.
+    """Segmented fill-forward via a log-shift loop, channel-major layout.
 
-    mark: [M] bool — positions holding fresh values. vals: [M, C] with rows
-    defined at marks. Returns vals with every row replaced by the nearest
-    marked row at or before it. ~log2(M) bandwidth passes; compiles to
-    plain pad/slice/select (no associative_scan tuple machinery, which
-    stalls the TPU compiler at this size).
+    mark: [M] bool — positions holding fresh values. vals: [C, M] with
+    columns defined at marks. Returns vals with every column replaced by
+    the nearest marked column at or before it. ~log2(M) bandwidth passes;
+    compiles to plain pad/slice/select (no associative_scan tuple
+    machinery, which stalls the TPU compiler at this size). Channel-major
+    [C, M] keeps M on the 128-lane axis — an [M, C] layout would pad C up
+    to 128 lanes and waste ~32x bandwidth.
     """
     m = mark
     v = vals
     shift = 1
     while shift < length:
-        vs = jnp.concatenate([v[:shift], v[:-shift]], axis=0)
+        vs = jnp.concatenate([v[:, :shift], v[:, :-shift]], axis=1)
         ms = jnp.concatenate([jnp.zeros((shift,), bool), m[:-shift]])
-        v = jnp.where(m[:, None], v, vs)
+        v = jnp.where(m[None, :], v, vs)
         m = m | ms
         shift *= 2
     return v
@@ -139,6 +141,7 @@ def bin_sort_pack(
     # cumsum yields the true owner (largest g with offs[g] <= s)
     marks_cnt = jnp.zeros((M,), jnp.int32).at[offs].add(1, mode="drop")
     has_mark = marks_cnt > 0
+    g = jnp.clip(jnp.cumsum(marks_cnt) - 1, 0, N - 1)  # owner gaussian index
     start_pos = jax.lax.cummax(jnp.where(has_mark, s, -1))
     j = s - start_pos
     valid = s < total
@@ -153,25 +156,24 @@ def bin_sort_pack(
             depth.astype(jnp.float32)[:, None],
             rect_min[:, :2].astype(jnp.float32),
             rect_w[:, None],
-            jnp.arange(N, dtype=jnp.float32)[:, None],
         ],
         axis=1,
-    )  # [N, 5]
+    )  # [N, 4] — the owner id needs no fill: it IS the marks cumsum `g`
     # scatter each *non-empty* gaussian's row to its start slot (monotone
-    # unique indices -> cheap); empty rows are masked to an OOB index
+    # unique indices -> cheap), then transpose once to channel-major for
+    # the lane-axis fill
     row_idx = jnp.where(tiles > 0, offs, M)
     start_vals = (
         jnp.zeros((M, per_gauss.shape[1]), jnp.float32)
         .at[row_idx]
         .set(per_gauss, mode="drop")
     )
-    slot_vals = _fill_forward(has_mark, start_vals, M)
+    slot_vals = _fill_forward(has_mark, start_vals.T, M)  # [4, M]
 
-    depth_s = slot_vals[:, 0]
-    rmx = slot_vals[:, 1].astype(jnp.int32)
-    rmy = slot_vals[:, 2].astype(jnp.int32)
-    rw = jnp.maximum(slot_vals[:, 3].astype(jnp.int32), 1)
-    gid_f = slot_vals[:, 4]
+    depth_s = slot_vals[0]
+    rmx = slot_vals[1].astype(jnp.int32)
+    rmy = slot_vals[2].astype(jnp.int32)
+    rw = jnp.maximum(slot_vals[3].astype(jnp.int32), 1)
     tx = rmx + j % rw
     ty = rmy + j // rw
     tile_id = jnp.where(valid, ty * tgx + tx, T)
@@ -180,7 +182,7 @@ def bin_sort_pack(
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.where(valid, depth_s, jnp.inf), jnp.int32
     )
-    gid_slot = jnp.where(valid, gid_f.astype(jnp.int32), -1)
+    gid_slot = jnp.where(valid, g, -1)
     if sort_mode == "packed" and T < (1 << 11):
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
         sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
@@ -192,10 +194,14 @@ def bin_sort_pack(
 
     pad_ok = sorted_gid >= 0
     safe_gid = jnp.where(pad_ok, sorted_gid, 0)
-    vals = jnp.where(
-        pad_ok[:, None], channels.astype(jnp.float32)[safe_gid], 0.0
-    )  # [M, Dc] — the one gather
-    packed = vals.T
+    # the one gather, channel-major: channels pre-transposed to [Dc, N] so
+    # the output [Dc, M] keeps M on the lane axis (an [M, Dc] gather would
+    # pad Dc to 128 lanes and waste ~8-32x bandwidth)
+    packed = jnp.where(
+        pad_ok[None, :],
+        jnp.take(channels.astype(jnp.float32).T, safe_gid, axis=1),
+        0.0,
+    )  # [Dc, M]
     D_target = -(-Dc // 8) * 8
     if D_target > Dc:
         packed = jnp.concatenate(

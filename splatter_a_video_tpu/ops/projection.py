@@ -24,7 +24,15 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-BLOCK = 16  # tile edge in pixels; parity with BLOCK_X=BLOCK_Y=16
+BLOCK = 16  # default tile edge; parity with BLOCK_X=BLOCK_Y=16. All tile
+# helpers also accept an (bx, by) tuple — wider-than-tall tiles (e.g. 32x16)
+# cut kernel program count and duplicate intersections on TPU.
+
+
+def _block_xy(block) -> Tuple[int, int]:
+    if isinstance(block, tuple):
+        return block
+    return (block, block)
 
 
 class Projection(NamedTuple):
@@ -39,9 +47,10 @@ class Projection(NamedTuple):
     rect_max: jnp.ndarray  # [N, 2] int32 exclusive tile rect max (tx, ty)
 
 
-def tile_grid(W: int, H: int, block: int = BLOCK) -> Tuple[int, int]:
+def tile_grid(W: int, H: int, block=BLOCK) -> Tuple[int, int]:
     """Number of tiles along (x, y)."""
-    return (-(-W // block), -(-H // block))
+    bx, by = _block_xy(block)
+    return (-(-W // bx), -(-H // by))
 
 
 def project_ortho(
@@ -140,12 +149,14 @@ def _finish_cov2d(
     lam_max = mid + disc
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
+    bx, by = _block_xy(block)
     tgx, tgy = tile_grid(W, H, block)
     tb = jnp.array([tgx, tgy], dtype=jnp.int32)
+    bvec = jnp.array([bx, by], dtype=uv.dtype)
     r2 = radius[:, None]
-    tile_min = jnp.clip(jnp.floor((uv - r2) / block).astype(jnp.int32), 0, tb)
+    tile_min = jnp.clip(jnp.floor((uv - r2) / bvec).astype(jnp.int32), 0, tb)
     tile_max = jnp.clip(
-        jnp.floor((uv + r2 + (block - 1)) / block).astype(jnp.int32), 0, tb
+        jnp.floor((uv + r2 + (bvec - 1)) / bvec).astype(jnp.int32), 0, tb
     )
     span = tile_max - tile_min
     tiles = span[:, 0] * span[:, 1]

@@ -36,7 +36,13 @@ class RasterizeConfig:
     max_intersections: int = 1 << 20
     max_tiles_per_gaussian: int = 32
     chunk: int = 128
-    block: int = 16
+    block_x: int = 16               # pixel tile width (reference parity: 16)
+    block_y: int = 16               # pixel tile height; (32, 16) is faster
+    #                                 on TPU (fewer programs + duplicates)
+
+    @property
+    def block(self):
+        return (self.block_x, self.block_y)
     nearest: float = 0.01           # ortho near-cull (dptr_ortho_enhanced.py:287)
     extent: float = 1.3             # frustum-extent cull factor
     ortho: bool = True              # production path is orthographic
@@ -107,6 +113,7 @@ def rasterize(
         max_intersections=cfg.max_intersections,
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         sort_mode=cfg.sort_mode,
+        block=cfg.block,
         interpret=cfg.interpret,
     )
 

@@ -78,12 +78,12 @@ def splat_reference(
     order = jnp.argsort(depth, stable=True)  # ties resolved by gaussian id,
     # matching the stable (tile, depth) sort in binning.
 
+    bx, by = block if isinstance(block, tuple) else (block, block)
     ys = jnp.arange(H)
     xs = jnp.arange(W)
     px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1).reshape(-1, 2)  # [P,2] (x,y)
-    ptile = (px[:, 1] // block) * (-(-W // block)) + (px[:, 0] // block)  # tile id, unused
-    ptx = px[:, 0] // block
-    pty = px[:, 1] // block
+    ptx = px[:, 0] // bx
+    pty = px[:, 1] // by
     pxf = px.astype(jnp.float32)
     P = pxf.shape[0]
 

@@ -56,8 +56,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import binning as _binning
 
-TILE = 16          # pixel tile edge; parity with BLOCK_X/BLOCK_Y (config.h:7-10)
-PIX = TILE * TILE  # pixels per kernel instance
+DEFAULT_TILE = (16, 16)  # (w, h); parity default with BLOCK_X/Y=16
+# (config.h:7-10). Wider tiles (32, 16) cut program count + duplicates.
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
@@ -112,12 +112,12 @@ def _chunk_alpha(data, px_x, px_y, lane_ok):
     return alpha_eff, gexp, vx, vy, ca, cb, cc, op
 
 
-def _pixel_coords(tgx: int):
+def _pixel_coords(tgx: int, tw: int, th: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px_x = (tx * TILE + p % TILE).astype(jnp.float32)
-    px_y = (ty * TILE + p // TILE).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (tw * th, 1), 0)
+    px_x = (tx * tw + p % tw).astype(jnp.float32)
+    px_y = (ty * th + p // tw).astype(jnp.float32)
     return ty, tx, px_x, px_y
 
 
@@ -145,10 +145,13 @@ def _fwd_kernel(
     D: int,
     chunk: int,
     tgx: int,
+    tw: int,
+    th: int,
     bg: Tuple[float, ...],
     K_idx: int,
 ):
-    ty, tx, px_x, px_y = _pixel_coords(tgx)
+    PIX = tw * th
+    ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
     t = ty * tgx + tx
     start = edges_ref[t]
     end = edges_ref[t + 1]
@@ -291,10 +294,13 @@ def _bwd_kernel(
     D: int,
     chunk: int,
     tgx: int,
+    tw: int,
+    th: int,
     bg: Tuple[float, ...],
     alpha_grad_mask: Tuple[float, ...],
 ):
-    ty, tx, px_x, px_y = _pixel_coords(tgx)
+    PIX = tw * th
+    ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
     t = ty * tgx + tx
     start = edges_ref[t]
     end = edges_ref[t + 1]
@@ -477,7 +483,7 @@ def _bwd_kernel(
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, bg, K_idx):
+def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx):
     if K_idx:
         (packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref, gsidx_ref,
          buf, sem, ibuf, isem, st, acc) = rest
@@ -489,7 +495,7 @@ def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, bg, K_idx):
     _fwd_kernel(
         edges_ref, packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref,
         gsidx_ref, buf, sem, ibuf, isem, st, acc,
-        C=C, D=D, chunk=chunk, tgx=tgx, bg=bg, K_idx=K_idx,
+        C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg, K_idx=K_idx,
     )
 
 
@@ -505,6 +511,7 @@ def _build_splat(
     max_intersections: int,
     max_tiles_per_gaussian: int,
     sort_mode: str,
+    tile_wh: Tuple[int, int],
     interpret: bool,
 ):
     """Construct the custom-vjp splat over (uv, conic, opacity, features,
@@ -512,22 +519,24 @@ def _build_splat(
     the bwd reduces per-slot kernel gradients to per-Gaussian cotangents
     with a sort + running-sum (deterministic, scatter-free)."""
     D = packed_rows(C)
-    tgx = -(-W // TILE)
-    tgy = -(-H // TILE)
+    tw, th = tile_wh
+    PIX = tw * th
+    tgx = -(-W // tw)
+    tgy = -(-H // th)
     T_tiles = tgy * tgx
     grid = (tgy, tgx)
     Mg = _binning.grad_buffer_size(max_intersections, T_tiles, chunk)
 
     def tiles_to_img(x):
         c = x.shape[-1]
-        x = x.reshape(tgy, tgx, TILE, TILE, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(tgy * TILE, tgx * TILE, c)
+        x = x.reshape(tgy, tgx, th, tw, c)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tgy * th, tgx * tw, c)
         return x[:H, :W]
 
     def img_to_tiles(x):
         c = x.shape[-1]
-        x = jnp.pad(x, ((0, tgy * TILE - H), (0, tgx * TILE - W), (0, 0)))
-        x = x.reshape(tgy, TILE, tgx, TILE, c).transpose(0, 2, 1, 3, 4)
+        x = jnp.pad(x, ((0, tgy * th - H), (0, tgx * tw - W), (0, 0)))
+        x = x.reshape(tgy, th, tgx, tw, c).transpose(0, 2, 1, 3, 4)
         return x.reshape(T_tiles, PIX, c)
 
     tile_block = lambda c: pl.BlockSpec(
@@ -543,7 +552,7 @@ def _build_splat(
             depth, tiles, rect_min, rect_max, channels, W, H,
             max_intersections=max_intersections,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            chunk=chunk, sort_mode=sort_mode,
+            chunk=chunk, block=tile_wh, sort_mode=sort_mode,
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -563,7 +572,8 @@ def _build_splat(
             out_specs.append(tile_block(K_idx))
 
         kernel = functools.partial(
-            _fwd_kernel_entry, C=C, D=D, chunk=chunk, tgx=tgx, bg=bg, K_idx=K_idx
+            _fwd_kernel_entry, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th,
+            bg=bg, K_idx=K_idx,
         )
         outs = pl.pallas_call(
             kernel,
@@ -595,7 +605,7 @@ def _build_splat(
         out_t = img_to_tiles(out)
         finalT_t = img_to_tiles(finalT[..., None])
         kernel = functools.partial(
-            _bwd_kernel, C=C, D=D, chunk=chunk, tgx=tgx, bg=bg,
+            _bwd_kernel, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
             alpha_grad_mask=alpha_grad_mask,
         )
         dgrad, gidg = pl.pallas_call(
@@ -715,6 +725,7 @@ def splat_scene(
     max_intersections: int = 1 << 19,
     max_tiles_per_gaussian: int = 32,
     sort_mode: str = "packed",
+    block: Tuple[int, int] = DEFAULT_TILE,
     interpret: Optional[bool] = None,
 ):
     """Differentiable bin+sort+blend of pre-projected Gaussians.
@@ -730,7 +741,8 @@ def splat_scene(
     fn = _build_splat(
         C, W, H, tuple(float(x) for x in bg),
         tuple(float(x) for x in alpha_grad_mask), K_idx, chunk,
-        max_intersections, max_tiles_per_gaussian, sort_mode, interpret,
+        max_intersections, max_tiles_per_gaussian, sort_mode,
+        tuple(block), interpret,
     )
     return fn(uv, conic, opacity, features, abs_sink, depth, tiles,
               rect_min, rect_max)

@@ -1,0 +1,124 @@
+"""Training hooks: lifecycle callbacks, console/TensorBoard logging,
+periodic checkpoints.
+
+Parity with the reference's hook stack (SURVEY.md §2.10):
+  * `Hook` with lifecycle sites (`/root/reference/src/pointrix/hook/hook.py:7-16`)
+  * `LogHook` — console + tensorboard scalars/images with EMA losses
+    (`src/pointrix/hook/log_hook.py:11-161`)
+  * `CheckPointHook` — periodic snapshots (`src/pointrix/hook/checkpoint_hook.py:7-44`)
+  * the trainer's own tensorboard panels (`src/trainer_fragGS.py:837-925`)
+
+TensorBoard writing uses torch.utils.tensorboard (torch is CPU-only here,
+used purely as a summary writer); absent that, logging degrades to console.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+
+class Hook:
+    """Lifecycle callback base — sites mirror `hook.py:7-16`."""
+
+    def before_train(self, ctx):
+        pass
+
+    def before_train_iter(self, ctx):
+        pass
+
+    def after_train_iter(self, ctx):
+        pass
+
+    def after_train(self, ctx):
+        pass
+
+
+class HookContext:
+    """Mutable bag passed to hooks: step, metrics, state, config, out_dir."""
+
+    def __init__(self, out_dir: str, cfg=None):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.step = 0
+        self.metrics: Dict[str, float] = {}
+        self.state = None
+        self.images: Dict[str, "object"] = {}
+
+
+class LogHook(Hook):
+    """Console + TensorBoard scalar/image logging with EMA smoothing."""
+
+    def __init__(self, print_every: int = 100, image_every: int = 0,
+                 ema: float = 0.9, tensorboard: bool = True):
+        self.print_every = print_every
+        self.image_every = image_every
+        self.ema = ema
+        self.tensorboard = tensorboard
+        self._ema_vals: Dict[str, float] = {}
+        self._writer = None
+        self._t0 = None
+
+    def before_train(self, ctx: HookContext):
+        self._t0 = time.time()
+        if self.tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(os.path.join(ctx.out_dir, "tb"))
+            except Exception:
+                self._writer = None
+
+    def after_train_iter(self, ctx: HookContext):
+        for k, v in ctx.metrics.items():
+            prev = self._ema_vals.get(k, float(v))
+            self._ema_vals[k] = self.ema * prev + (1 - self.ema) * float(v)
+        if self._writer is not None:
+            for k, v in ctx.metrics.items():
+                self._writer.add_scalar(f"train/{k}", float(v), ctx.step)
+            if self.image_every and ctx.step % self.image_every == 0:
+                for name, img in ctx.images.items():
+                    import numpy as np
+
+                    arr = np.clip(np.asarray(img), 0, 1)
+                    self._writer.add_image(
+                        f"train/{name}", arr, ctx.step, dataformats="HWC"
+                    )
+        if self.print_every and ctx.step % self.print_every == 0:
+            parts = "  ".join(
+                f"{k} {self._ema_vals.get(k, 0):.4f}"
+                for k in ("loss", "psnr")
+                if k in self._ema_vals
+            )
+            rate = ctx.step / max(time.time() - self._t0, 1e-9)
+            print(f"step {ctx.step:6d}  {parts}  {rate:.2f} it/s", flush=True)
+
+    def after_train(self, ctx: HookContext):
+        if self._writer is not None:
+            self._writer.flush()
+            self._writer.close()
+
+
+class CheckPointHook(Hook):
+    """Periodic TrainState snapshots (`checkpoint_hook.py:11-44` cadence)."""
+
+    def __init__(self, every: int = 5000):
+        self.every = every
+
+    def after_train_iter(self, ctx: HookContext):
+        if self.every and ctx.step % self.every == 0 and ctx.state is not None:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
+
+    def after_train(self, ctx: HookContext):
+        if ctx.state is not None:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
+
+
+def run_hooks(hooks: List[Hook], site: str, ctx: HookContext) -> None:
+    for h in hooks:
+        getattr(h, site)(ctx)

@@ -248,3 +248,62 @@ class TestPackedSort:
             )
             imgs[mode] = np.asarray(img)
         np.testing.assert_allclose(imgs["packed"], imgs["exact"], atol=1e-5)
+
+
+class TestWideTiles:
+    def test_32x16_matches_oracle(self):
+        """Rectangular (32, 16) tiles must reproduce the oracle exactly
+        (different tile rects => different inclusion sets, so the oracle
+        runs with the same block)."""
+        key = jax.random.PRNGKey(13)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        extr = jnp.eye(3, 4)
+        uv, depth = projection.project_ortho(xyz, extr, W, H)
+        visible = depth != 0
+        cov6 = quaternion.build_cov3d(scale, quat, visible)
+        conic, radius, tiles, rmin, rmax = projection.ewa_ortho(
+            cov6, extr, uv, W, H, visible, block=(32, 16)
+        )
+        img, finalT, ncontrib, _, _ = rasterize_tpu.splat_scene(
+            uv, conic, opacity, feats, jnp.zeros((uv.shape[0], 2)),
+            depth, tiles, rmin, rmax,
+            C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+            max_intersections=1 << 14, sort_mode="exact", block=(32, 16),
+        )
+        ref = rasterize_ref.splat_reference(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)), block=(32, 16),
+        )
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(ncontrib), np.asarray(ref.ncontrib))
+
+    def test_32x16_gradients(self):
+        key = jax.random.PRNGKey(14)
+        xyz, scale, quat, opacity, feats = make_scene(key, opacity_max=0.85)
+        extr = jnp.eye(3, 4)
+        uv, depth = projection.project_ortho(xyz, extr, W, H)
+        visible = depth != 0
+        cov6 = quaternion.build_cov3d(scale, quat, visible)
+        conic, radius, tiles, rmin, rmax = projection.ewa_ortho(
+            cov6, extr, uv, W, H, visible, block=(32, 16)
+        )
+
+        def loss_p(op):
+            img, *_ = rasterize_tpu.splat_scene(
+                uv, conic, op, feats, jnp.zeros((uv.shape[0], 2)),
+                depth, tiles, rmin, rmax,
+                C=3, W=W, H=H, bg=(1.0, 1.0, 1.0),
+                max_intersections=1 << 14, sort_mode="exact", block=(32, 16),
+            )
+            return jnp.sum(img**2)
+
+        def loss_o(op):
+            ref = rasterize_ref.splat_reference(
+                uv, conic, op, feats, depth, radius, rmin, rmax, W, H,
+                bg=jnp.ones((3,)), block=(32, 16),
+            )
+            return jnp.sum(ref.image**2)
+
+        gp = jax.grad(loss_p)(opacity)
+        go = jax.grad(loss_o)(opacity)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(go), atol=3e-4, rtol=2e-3)

@@ -268,19 +268,34 @@ def tracking_loss(
 
 
 def arap_connectivity(
-    points: jnp.ndarray, k: int = 5, radius: float = 0.1, least_edge_num: int = 3
+    points: jnp.ndarray,
+    k: int = 5,
+    radius: float = 0.1,
+    least_edge_num: int = 3,
+    query_idx: Optional[jnp.ndarray] = None,
+    alive: Optional[jnp.ndarray] = None,
 ):
     """K-NN connectivity + adaptive weights — parity with
     `cal_connectivity_from_points` (`geometry_utils.py:7-38`).
 
-    Returns (nn_idx [N,k], weight [N,k], edge_valid [N,k]).
-    Edges beyond `least_edge_num` are cut when farther than `radius`
-    (squared-distance test, matching the reference).
-    """
-    from ..ops.knn import knn as _knn
+    The reference builds connectivity for ALL points then samples 512 for
+    the energy (`cal_arap_error`, `:101-106`); the all-pairs KNN at full
+    static capacity would materialize a [cap, cap] distance matrix
+    (gigabytes at 131k). Since only the sampled rows are consumed, we take
+    `query_idx` and compute the [S, cap] slice with TPU-native
+    `approx_max_k` (MXU distance matmul + fast approximate top-k).
 
-    d2, idx = _knn(points, points, k=k + 1)
-    nn_d, nn_i = d2[:, 1:], idx[:, 1:]  # drop self
+    Returns (nn_idx [S,k], weight [S,k], edge_valid [S,k]) for the queries.
+    Edges beyond `least_edge_num` are cut when farther than `radius`.
+    """
+    from ..ops.knn import _pairwise_sq_dists
+
+    q = points if query_idx is None else points[query_idx]
+    d2 = _pairwise_sq_dists(q, points)  # [S, N]
+    if alive is not None:
+        d2 = jnp.where(alive[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.approx_max_k(-d2, k + 1)
+    nn_d, nn_i = -neg[:, 1:], idx[:, 1:]  # drop self (distance-0 top hit)
     cut = jnp.arange(k)[None, :] >= least_edge_num
     valid = jnp.where(cut, nn_d < radius**2, True)
     # adaptive weighting: exp(-d / mean(d)) with invalid edges zeroed AFTER
@@ -288,6 +303,7 @@ def arap_connectivity(
     # mean is 0 * inf = NaN). The reference substitutes inf before the mean
     # (`geometry_utils.py:22-25`), which poisons the mean; we use the finite
     # pre-mask mean, matching its intent.
+    nn_d = jnp.where(jnp.isfinite(nn_d), nn_d, 0.0)
     w = jnp.exp(-nn_d / jnp.maximum(jnp.mean(nn_d), 1e-12))
     w = jnp.where(valid, w, 0.0)
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
@@ -354,12 +370,15 @@ def arap_loss(
         p = p / jnp.maximum(p.sum(), 1.0)
         sample_idx = jax.random.choice(key, N, (min(sample_num, N),), replace=True, p=p)
 
-    nn_idx, weight, valid = arap_connectivity(pos_t1, k=k)
-    src_all = _edge_matrix(pos_t1, nn_idx, valid)
-    tgt_all = _edge_matrix(pos_t2, nn_idx, valid)
-    src = src_all[sample_idx]
-    tgt = tgt_all[sample_idx]
-    w = weight[sample_idx]
+    nn_idx, w, valid = arap_connectivity(
+        pos_t1, k=k, query_idx=sample_idx, alive=alive
+    )
+    src = jnp.where(
+        valid[..., None], pos_t1[sample_idx][:, None, :] - pos_t1[nn_idx], 0.0
+    )
+    tgt = jnp.where(
+        valid[..., None], pos_t2[sample_idx][:, None, :] - pos_t2[nn_idx], 0.0
+    )
 
     R = jax.lax.stop_gradient(estimate_rotation(src, tgt, w))
     rot_rigid = jnp.einsum("nab,nkb->nka", R, src)

@@ -1,0 +1,75 @@
+"""End-to-end TPU proof: train a synthetic clip at 480p-ish scale, then run
+rendering + tracking eval on the result."""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from splatter_a_video_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+import numpy as np
+
+from splatter_a_video_tpu import inference
+from splatter_a_video_tpu.data import synthetic
+from splatter_a_video_tpu.eval import metrics, tapvid
+from splatter_a_video_tpu.models import camera
+from splatter_a_video_tpu.ops import rasterize
+from splatter_a_video_tpu.train import density, fit, optim, trainer
+
+STEPS = int(os.environ.get("E2E_STEPS", "1500"))
+
+clip = synthetic.make_clip(
+    synthetic.SyntheticClipConfig(width=256, height=192, num_frames=24,
+                                  blob_radius=18.0, num_blobs=5)
+)
+H, W = clip.image_size
+fcfg = fit.FitConfig(
+    num_iters=STEPS, num_fg_samples=2000, num_bg_samples=2000,
+    num_track_samples=1024, log_every=max(STEPS // 10, 1),
+)
+tcfg = trainer.TrainerConfig(
+    width=W, height=H, num_frames=clip.num_frames,
+    num_track_samples=1024, max_intersections=1 << 18,
+    optim=optim.OptimConfig(max_steps=STEPS),
+    densify=density.DensifyConfig(
+        densify_start_iter=500, duplicate_interval=100, prune_interval=100,
+        opacity_reset_interval=3000,
+    ),
+)
+
+t0 = time.time()
+state, hist = fit.fit_clip(
+    clip, fcfg, tcfg,
+    callback=lambda s, m: print(
+        f"step {s}: loss={m['loss']:.3f} psnr={m['psnr']:.2f} "
+        f"alive={m['alive']} {s/(time.time()-t0):.1f} it/s", flush=True,
+    ),
+)
+print(f"trained {STEPS} steps in {(time.time()-t0)/60:.1f} min", flush=True)
+
+scene = state.scene
+cam = camera.canonical_camera(W, H)
+rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=1 << 18)
+
+# reconstruction quality over all frames
+psnrs, ssims = [], []
+res = inference.render_video(scene, cam, rcfg, list(range(clip.num_frames)))
+for t in range(clip.num_frames):
+    psnrs.append(metrics.psnr(res["rgb"][t], clip.frames[t]))
+    ssims.append(metrics.ssim(res["rgb"][t], clip.frames[t]))
+print(f"recon: PSNR {np.mean(psnrs):.2f} SSIM {np.mean(ssims):.4f}", flush=True)
+
+m = tapvid.evaluate_scene_tracking(scene, clip, cam, rcfg, num_queries=128)
+print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items() if "_" not in k or True}), flush=True)
+
+# save frames for inspection
+os.makedirs("/tmp/e2e_out", exist_ok=True)
+from splatter_a_video_tpu.utils import vis
+
+vis.write_video("/tmp/e2e_out/render.mp4", res["rgb"], fps=8)
+print("wrote /tmp/e2e_out/render.mp4", flush=True)

@@ -134,6 +134,47 @@ def orbit_cameras(
     return tuple(cams)
 
 
+def dolly_path(base: Camera, num: int, z_range: Tuple[float, float] = (-0.3, 0.0)) -> Tuple[Camera, ...]:
+    """Dolly (translate along the view axis) — parity with the reference's
+    Dolly novel-camera generator (`camera.py:536-880`)."""
+    cams = []
+    for i in range(num):
+        z = z_range[0] + (z_range[1] - z_range[0]) * i / max(num - 1, 1)
+        t = np.array([0.0, 0.0, -z], np.float32)
+        cams.append(base.with_pose(base.R, t))
+    return tuple(cams)
+
+
+def zoom_path(base: Camera, num: int, fov_scale: Tuple[float, float] = (1.0, 0.7)) -> Tuple[Camera, ...]:
+    """Zoom (narrowing fov) camera path."""
+    cams = []
+    for i in range(num):
+        s = fov_scale[0] + (fov_scale[1] - fov_scale[0]) * i / max(num - 1, 1)
+        cams.append(
+            Camera(base.width, base.height, base.R, base.t, base.fovx * s,
+                   None if base.fovy is None else base.fovy * s)
+        )
+    return tuple(cams)
+
+
+def spiral_path(
+    base: Camera, num: int, radius: float = 0.1, zrad: float = 0.05,
+    at: Tuple[float, float, float] = (0.0, 0.0, 1.0),
+) -> Tuple[Camera, ...]:
+    """Spiral orbit (xy circle + z oscillation) — the Spiral generator."""
+    at = np.asarray(at, np.float32)
+    cams = []
+    for i in range(num):
+        ang = 2 * math.pi * i / max(num, 1)
+        pos = np.array(
+            [radius * math.cos(ang), radius * math.sin(ang), zrad * math.sin(2 * ang)],
+            np.float32,
+        )
+        R = look_at_rotation(pos, at)
+        cams.append(base.with_pose(R, -R @ pos))
+    return tuple(cams)
+
+
 def stereo_cameras(base: Camera, baseline: float = 0.06,
                    at: Tuple[float, float, float] = (0.0, 0.0, 1.0)) -> Tuple[Camera, Camera]:
     """Left/right eye pair for anaglyph stereo

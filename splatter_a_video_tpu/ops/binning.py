@@ -220,9 +220,11 @@ def bin_sort_pack(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = edges[1:] - edges[:-1]
-    # +1 budget per non-empty tile: the kernel walks chunks from the
-    # aligned-down range start, which can add one extra chunk
-    nchunks = jnp.where(counts > 0, -(-counts // chunk) + 1, 0)
+    # EXACT per-tile chunk counts as the kernel walks them (aligned-down
+    # start): the backward writes exactly these chunk slots, so the grad
+    # buffer has no stale columns below chunk_base[-1]
+    astart = (edges[:-1] // chunk) * chunk
+    nchunks = jnp.where(counts > 0, -(-(edges[1:] - astart) // chunk), 0)
     chunk_base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
     )

@@ -41,6 +41,21 @@ ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
 
+def splat_reference_with_bias(
+    uv, conic, opacity, features, depth, radius, rect_min, rect_max,
+    W, H, bg, opacity_bias, K_idx=0, block=16,
+):
+    """`alpha_blending_with_bias` parity: alpha = min(0.99, op*exp(power) +
+    bias_g) per Gaussian (`/root/reference/src/submodules/dptr/dptr/gs/
+    alpha_blending_with_bias.py`, unused by the production trainer —
+    provided at oracle level for API completeness; differentiable via
+    autodiff including d/d bias)."""
+    return _splat_impl(
+        uv, conic, opacity, features, depth, radius, rect_min, rect_max,
+        W, H, bg, K_idx, block, opacity_bias,
+    )
+
+
 class SplatOutput(NamedTuple):
     image: jnp.ndarray      # [H, W, C] blended features (+ T * bg)
     final_T: jnp.ndarray    # [H, W] final transmittance
@@ -73,6 +88,17 @@ def splat_reference(
       bg: [C] background (broadcast against channels).
       K_idx: if > 0, record the first K applied ids per pixel.
     """
+    return _splat_impl(
+        uv, conic, opacity, features, depth, radius, rect_min, rect_max,
+        W, H, bg, K_idx, block, None,
+    )
+
+
+@partial(jax.jit, static_argnames=("W", "H", "K_idx", "block"))
+def _splat_impl(
+    uv, conic, opacity, features, depth, radius, rect_min, rect_max,
+    W: int, H: int, bg, K_idx: int, block, opacity_bias,
+):
     N, C = features.shape
 
     order = jnp.argsort(depth, stable=True)  # ties resolved by gaussian id,
@@ -102,7 +128,10 @@ def splat_reference(
         )
         vec = uv_g[None, :] - pxf  # [P,2]
         power = -0.5 * (con[0] * vec[:, 0] ** 2 + con[2] * vec[:, 1] ** 2) - con[1] * vec[:, 0] * vec[:, 1]
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        raw = op * jnp.exp(power)
+        if opacity_bias is not None:
+            raw = raw + opacity_bias[gi]
+        alpha = jnp.minimum(ALPHA_MAX, raw)
         valid = inc & (power <= 0) & (alpha >= ALPHA_MIN) & (~done)
         next_T = T * (1.0 - alpha)
         terminate = valid & (next_T < T_EPS)

@@ -644,7 +644,7 @@ def _build_splat(
         )(b.edges, b.chunk_base, b.packed, b.gid.reshape(1, -1), g, out_t, finalT_t)
         return dgrad, gidg[0]
 
-    def reduce_to_gaussians(dgrad, gidg, N):
+    def reduce_to_gaussians(dgrad, gidg, N, num_chunks):
         """Per-gaussian reduction of the per-slot gradient columns.
 
         A row-scatter-add by gaussian id measured 7.6 ms at 512k slots vs
@@ -656,7 +656,12 @@ def _build_splat(
         """
         nrows = 8 + C
         mat = dgrad[:nrows].T                                 # [Mg, nrows]
-        idx = jnp.where(gidg >= 0, gidg, N)
+        # columns beyond the last written chunk are UNINITIALIZED device
+        # memory (no kernel instance touches them): their garbage ids would
+        # scatter garbage grads into random gaussians — mask them to the
+        # dropped index
+        col_ok = jnp.arange(gidg.shape[0], dtype=jnp.int32) < num_chunks * chunk
+        idx = jnp.where((gidg >= 0) & col_ok, gidg, N)
         seg = jnp.zeros((N, nrows), jnp.float32).at[idx].add(mat, mode="drop")
         duv = seg[:, 0:2]
         dconic = seg[:, 2:5]
@@ -686,7 +691,9 @@ def _build_splat(
         b, out, finalT, N = res
         gimg = cts[0]
         dgrad, gidg = bwd_pallas(b, out, finalT, gimg)
-        duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(dgrad, gidg, N)
+        duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(
+            dgrad, gidg, N, b.chunk_base[-1]
+        )
         zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (
             duv,

@@ -324,9 +324,12 @@ def estimate_rotation(
     (`geometry_utils.py:54-87`), batched jnp.linalg.svd instead of torch.svd.
     """
     S = jnp.einsum("nka,nk,nkb->nab", src_edges, weight, tgt_edges)  # [N,3,3]
-    # undeformed points -> S = 0 -> R = I (the reference zeroes S for them)
+    # undeformed points -> S ~ 0 -> R = I (the reference zeroes S for them);
+    # TPU's SVD NaNs on exactly-degenerate matrices (CPU LAPACK tolerates
+    # them), so regularize with a tiny ridge and guard the output
     unchanged = jnp.all(src_edges == tgt_edges, axis=(1, 2))
     S = jnp.where(unchanged[:, None, None], 0.0, S)
+    S = S + 1e-8 * jnp.eye(3)
     U, sig, Vt = jnp.linalg.svd(S)
     W = jnp.swapaxes(Vt, -1, -2)
     R = W @ jnp.swapaxes(U, -1, -2)
@@ -342,6 +345,9 @@ def estimate_rotation(
     R = jnp.where(
         (det <= 0)[:, None, None], W @ jnp.swapaxes(U_fixed, -1, -2), R
     )
+    # final guard: any non-finite rotation falls back to identity
+    bad = jnp.logical_not(jnp.all(jnp.isfinite(R), axis=(1, 2)))
+    R = jnp.where(bad[:, None, None], jnp.eye(3), R)
     return R
 
 

@@ -161,16 +161,24 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
                 quantile=cfg.track_quantile,
             )
             loss_depth = _losses.depth_loss_dpt(pred_depth, batch.depth1)
-            loss_arap = _losses.arap_loss(
-                inp1["position"], pos2, sub,
-                k=cfg.arap_knn, sample_num=cfg.arap_sample_num, alive=sc.alive,
+            # zero-weight terms are skipped entirely (0 * NaN would still
+            # poison the sum) — weights are static config
+            loss_arap = (
+                _losses.arap_loss(
+                    inp1["position"], pos2, sub,
+                    k=cfg.arap_knn, sample_num=cfg.arap_sample_num,
+                    alive=sc.alive,
+                )
+                if cfg.arap_weight
+                else jnp.zeros(())
             )
-            loss = (
-                cfg.loss_rgb_weight * loss_rgb
-                + cfg.loss_flow_weight * loss_flow
-                + cfg.depth_loss_weight * loss_depth
-                + cfg.arap_weight * loss_arap
-            )
+            loss = cfg.loss_rgb_weight * loss_rgb
+            if cfg.loss_flow_weight:
+                loss = loss + cfg.loss_flow_weight * loss_flow
+            if cfg.depth_loss_weight:
+                loss = loss + cfg.depth_loss_weight * loss_depth
+            if cfg.arap_weight:
+                loss = loss + cfg.arap_weight * loss_arap
             metrics = {
                 "loss": loss,
                 "loss_rgb": loss_rgb,

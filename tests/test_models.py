@@ -229,3 +229,63 @@ class TestCamera:
         for c in (left, right):
             center_cam = c.R @ (np.array([0, 0, 1.0]) - c.camera_center)
             assert center_cam[2] > 0.9
+
+
+class TestCameraPaths:
+    def test_dolly_zoom_spiral(self):
+        base = camera.canonical_camera(64, 48)
+        d = camera.dolly_path(base, 5)
+        z = camera.zoom_path(base, 5)
+        s = camera.spiral_path(base, 5)
+        assert len(d) == len(z) == len(s) == 5
+        # dolly moves along z
+        assert d[0].t[2] != d[-1].t[2]
+        # zoom narrows fov
+        assert z[-1].fovx < z[0].fovx
+        # spiral orbits
+        assert not np.allclose(s[0].camera_center, s[2].camera_center)
+
+
+class TestInitPoints:
+    def test_positive_z_random(self):
+        from splatter_a_video_tpu.models import init_points
+
+        pts = init_points.positive_z_random(100, radius=1.0, z_shift=1.0)
+        assert pts.shape == (100, 3)
+        assert (np.abs(pts[:, :2]) <= 1.0).all()
+        assert (pts[:, 2] >= 0.5).all() and (pts[:, 2] <= 1.5).all()
+
+    def test_depth_to_points(self):
+        from splatter_a_video_tpu.models import init_points
+
+        depth = np.ones((20, 30), np.float32)
+        img = np.random.RandomState(0).rand(20, 30, 3).astype(np.float32)
+        pts, cols = init_points.depth_to_points(depth, img, stride=3)
+        assert pts.shape[0] == cols.shape[0] > 0
+        assert np.allclose(pts[:, 2], 1.1)  # depth + default shift
+        assert np.abs(pts[:, :2]).max() <= 1.0
+
+
+class TestPose:
+    def test_se3_exp_identity(self):
+        from splatter_a_video_tpu.utils import pose
+        import jax.numpy as jnp
+
+        T = np.asarray(pose.se3_exp(jnp.zeros(6) + 1e-12))
+        np.testing.assert_allclose(T, np.eye(4), atol=1e-6)
+
+    def test_so3_exp_rotation(self):
+        from splatter_a_video_tpu.utils import pose
+        import jax.numpy as jnp
+
+        R = np.asarray(pose.so3_exp(jnp.array([0.0, 0.0, np.pi / 2])))
+        np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-6)
+
+    def test_apply_se3(self):
+        from splatter_a_video_tpu.utils import pose
+        import jax.numpy as jnp
+
+        extr = jnp.eye(3, 4)
+        xi = jnp.array([0.1, 0.0, 0.0, 0.0, 0.0, 0.0])
+        out = np.asarray(pose.apply_se3_to_extrinsic(extr, xi))
+        np.testing.assert_allclose(out[:, 3], [0.1, 0, 0], atol=1e-6)

@@ -105,7 +105,8 @@ class TestBinning:
         # chunk_base covers each tile's chunk count (+1 for aligned-down walk)
         counts = edges[1:] - edges[:-1]
         cb = np.asarray(b.chunk_base)
-        expected = np.where(counts > 0, -(-counts // 128) + 1, 0)
+        astart = (edges[:-1] // 128) * 128
+        expected = np.where(counts > 0, -(-(edges[1:] - astart) // 128), 0)
         np.testing.assert_array_equal(np.diff(cb), expected)
 
 
@@ -307,3 +308,43 @@ class TestWideTiles:
         gp = jax.grad(loss_p)(opacity)
         go = jax.grad(loss_o)(opacity)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(go), atol=3e-4, rtol=2e-3)
+
+
+class TestWithBias:
+    def test_bias_raises_alpha(self):
+        """alpha_blending_with_bias parity (oracle level)."""
+        key = jax.random.PRNGKey(21)
+        xyz, scale, quat, opacity, feats = make_scene(key, n=50)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        bias = jnp.full((50,), 0.3)
+        base = rasterize_ref.splat_reference(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.zeros((3,)),
+        )
+        biased = rasterize_ref.splat_reference_with_bias(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.zeros((3,)), opacity_bias=bias,
+        )
+        # higher alpha => lower final transmittance somewhere
+        assert float(biased.final_T.mean()) < float(base.final_T.mean())
+        # zero bias reproduces the plain blend
+        zb = rasterize_ref.splat_reference_with_bias(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.zeros((3,)), opacity_bias=jnp.zeros((50,)),
+        )
+        np.testing.assert_allclose(np.asarray(zb.image), np.asarray(base.image), atol=1e-6)
+
+    def test_bias_gradient(self):
+        key = jax.random.PRNGKey(22)
+        xyz, scale, quat, opacity, feats = make_scene(key, n=30, opacity_max=0.6)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+
+        def loss(bias):
+            out = rasterize_ref.splat_reference_with_bias(
+                uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+                bg=jnp.zeros((3,)), opacity_bias=bias,
+            )
+            return jnp.sum(out.image**2)
+
+        g = np.asarray(jax.grad(loss)(jnp.zeros((30,))))
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0

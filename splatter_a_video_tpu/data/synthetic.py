@@ -60,11 +60,13 @@ def make_clip(cfg: SyntheticClipConfig) -> VideoFlowData:
         t = f / max(T - 1, 1)
         centers = _blob_centers(cfg, t, phases)
         centers_t.append(centers)
-        # background: horizontal gradient, far depth
+        # background: horizontal color gradient over a slanted depth plane
+        # (flat depth would give the MAD-normalized depth loss a degenerate
+        # scale and over-amplify its gradients)
         img = np.stack(
             [xx / W, 0.5 + 0.3 * yy / H, 1.0 - xx / W], axis=-1
         ).astype(np.float32) * 0.6
-        depth = np.full((H, W), 2.5, np.float32)
+        depth = (2.0 + 0.8 * (yy / H) + 0.2 * (xx / W)).astype(np.float32)
         mask = np.zeros((H, W), bool)
         # paint blobs back-to-front
         order = np.argsort(-depths_k)

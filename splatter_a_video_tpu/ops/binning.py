@@ -107,7 +107,7 @@ def bin_sort_pack(
     W: int,
     H: int,
     max_intersections: int,
-    max_tiles_per_gaussian: int = 32,
+    max_tiles_per_gaussian: int = 64,
     chunk: int = 128,
     block: int = 16,
     sort_mode: str = "packed",

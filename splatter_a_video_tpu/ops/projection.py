@@ -126,8 +126,21 @@ def project_persp(
     return uv, depth
 
 
+def max_radius_for_tile_cap(max_tiles: int, block) -> float:
+    """Largest pixel radius whose tile rect is guaranteed <= max_tiles.
+
+    The rect spans at most floor(2r/b) + 2 tiles per axis, so a square
+    budget of floor(sqrt(max_tiles)) tiles per axis gives
+    r <= (span - 2) * b / 2.
+    """
+    bx, by = _block_xy(block)
+    span = int(max(max_tiles, 9) ** 0.5)
+    return max((span - 2) * min(bx, by) / 2.0, float(min(bx, by)))
+
+
 def _finish_cov2d(
-    cov2d_00, cov2d_01, cov2d_11, uv, W: int, H: int, visible, block: int
+    cov2d_00, cov2d_01, cov2d_11, uv, W: int, H: int, visible, block: int,
+    max_radius=None,
 ):
     """Shared tail of both EWA paths: blur, conic, radius, tile rect.
 
@@ -135,6 +148,13 @@ def _finish_cov2d(
     and `ewa_project.cu:57-84`: +0.3 px low-pass on the diagonal, eigenvalue
     discriminant clamped at 0.1, radius = ceil(3 sqrt(lambda_max)), tile rect
     from uv +- radius clamped to the tile grid.
+
+    `max_radius` (pixels) clamps oversized footprints SYMMETRICALLY so they
+    stay within the binning's static per-Gaussian tile cap — without it,
+    the cap would truncate a huge Gaussian to the top rows of its rect,
+    producing banding artifacts and runaway-growth gradients (the reference
+    has no cap; its optimizer prunes world-size > 0.1*extent instead,
+    `gs_optimizer.py:364-366`, which still applies here on top).
     """
     a = cov2d_00 + 0.3
     b = cov2d_01
@@ -148,6 +168,8 @@ def _finish_cov2d(
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lam_max = mid + disc
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+    if max_radius is not None:
+        radius = jnp.minimum(radius, max_radius)
 
     bx, by = _block_xy(block)
     tgx, tgy = tile_grid(W, H, block)
@@ -178,6 +200,7 @@ def ewa_ortho(
     H: int,
     visible: jnp.ndarray,
     block: int = BLOCK,
+    max_radius=None,
 ):
     """Orthographic EWA: cov2d = (J R) Sigma (J R)^T with J = diag(W/2, H/2).
 
@@ -210,7 +233,7 @@ def ewa_ortho(
     c00 = quad(t0, t0)
     c01 = quad(t0, t1)
     c11 = quad(t1, t1)
-    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block)
+    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius)
 
 
 def ewa_persp(
@@ -223,6 +246,7 @@ def ewa_persp(
     H: int,
     visible: jnp.ndarray,
     block: int = BLOCK,
+    max_radius=None,
 ):
     """Perspective EWA — parity with `ewa_project.cu:16-84`.
 
@@ -255,4 +279,4 @@ def ewa_persp(
     c00 = quad(t0, t0)
     c01 = quad(t0, t1)
     c11 = quad(t1, t1)
-    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block)
+    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius)

@@ -34,7 +34,7 @@ class RasterizeConfig:
     width: int
     height: int
     max_intersections: int = 1 << 20
-    max_tiles_per_gaussian: int = 32
+    max_tiles_per_gaussian: int = 64
     chunk: int = 128
     block_x: int = 16               # pixel tile width (reference parity: 16)
     block_y: int = 16               # pixel tile height; (32, 16) is faster
@@ -186,13 +186,15 @@ def render_gaussians(
     rgb = _sh.eval_sh(cfg.sh_degree, shs, dirs, visible)
     cov3d = _quaternion.build_cov3d(scaling, rotation, visible)
 
+    max_r = _projection.max_radius_for_tile_cap(cfg.max_tiles_per_gaussian, cfg.block)
     if cfg.ortho:
         conic, radius, tiles, rect_min, rect_max = _projection.ewa_ortho(
-            cov3d, extr, uv, cfg.width, cfg.height, visible, cfg.block
+            cov3d, extr, uv, cfg.width, cfg.height, visible, cfg.block, max_r
         )
     else:
         conic, radius, tiles, rect_min, rect_max = _projection.ewa_persp(
-            position, cov3d, intr, extr, uv, cfg.width, cfg.height, visible, cfg.block
+            position, cov3d, intr, extr, uv, cfg.width, cfg.height, visible,
+            cfg.block, max_r,
         )
 
     groups: Dict[str, Tuple[jnp.ndarray, float, bool]] = {

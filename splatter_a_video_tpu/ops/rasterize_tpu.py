@@ -730,7 +730,7 @@ def splat_scene(
     K_idx: int = 0,
     chunk: int = 128,
     max_intersections: int = 1 << 19,
-    max_tiles_per_gaussian: int = 32,
+    max_tiles_per_gaussian: int = 64,
     sort_mode: str = "packed",
     block: Tuple[int, int] = DEFAULT_TILE,
     interpret: Optional[bool] = None,

@@ -69,7 +69,8 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
                 if name in inp:
                     ex[name] = inp[name]
             out = _trainer._render_with_sinks(
-                inp, extr_j, rcfg, ex, cfg.white_bg, uv_sink, abs_sink
+                inp, extr_j, rcfg, ex, cfg.white_bg, uv_sink, abs_sink,
+                depth_bg=cfg.depth_bg,
             )
             pred_rgb = out.features["rgb"]
             loss_rgb = _losses.rgb_loss(pred_rgb, batch.rgb1, cfg.lambda_dssim)

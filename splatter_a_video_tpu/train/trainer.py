@@ -55,6 +55,12 @@ class TrainerConfig:
     loss_flow_weight: float = 2.0
     lambda_dssim: float = 0.2
     depth_loss_weight: float = 1.0
+    # background value of the blended depth channel. The reference hardcodes
+    # 1.0 (its marigold depths live in ~[0,1], `dptr_ortho_enhanced.py:353`);
+    # our lifted-depth convention is [0.5, 2.0] (video_flow depth_range), so
+    # empty pixels must read as FAR (2.0) or the depth loss drags geometry
+    # toward a phantom mid-depth background.
+    depth_bg: float = 2.0
     arap_weight: float = 1e-3          # rigid_error / 1000 (:674)
     arap_sample_num: int = 512
     arap_knn: int = 5
@@ -62,7 +68,7 @@ class TrainerConfig:
     track_quantile: float = 0.98
     # rasterizer
     max_intersections: int = 1 << 19
-    max_tiles_per_gaussian: int = 32
+    max_tiles_per_gaussian: int = 64
     white_bg: bool = True
     # schedule
     max_steps: int = 20000
@@ -143,7 +149,8 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
                 if name in inp1:
                     extra[name] = inp1[name]
             out = _render_with_sinks(
-                inp1, extr_j, rcfg, extra, cfg.white_bg, uv_sink, abs_sink
+                inp1, extr_j, rcfg, extra, cfg.white_bg, uv_sink, abs_sink,
+                depth_bg=cfg.depth_bg,
             )
             pred_rgb = out.features["rgb"]
             pred_depth = out.features["depth"][..., 0]
@@ -232,7 +239,8 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
     return train_step, density_step, opacity_reset_step
 
 
-def _render_with_sinks(inp, extr, rcfg, extra, white_bg, uv_sink, abs_sink):
+def _render_with_sinks(inp, extr, rcfg, extra, white_bg, uv_sink, abs_sink,
+                       depth_bg=2.0):
     """render_gaussians with the uv/abs gradient-sink dummies injected —
     the reference's `ndc` / `abs_ndc` retain_grad trick
     (`dptr_ortho_enhanced.py:331-338`) done the functional way."""
@@ -252,12 +260,13 @@ def _render_with_sinks(inp, extr, rcfg, extra, white_bg, uv_sink, abs_sink):
     visible = depth != 0
     rgb = S.eval_sh(rcfg.sh_degree, inp["shs"], dirs, visible)
     cov3d = Q.build_cov3d(inp["scaling"], inp["rotation"], visible)
+    max_r = P.max_radius_for_tile_cap(rcfg.max_tiles_per_gaussian, rcfg.block)
     conic, radius, tiles, rect_min, rect_max = P.ewa_ortho(
-        cov3d, extr, uv, rcfg.width, rcfg.height, visible, rcfg.block
+        cov3d, extr, uv, rcfg.width, rcfg.height, visible, rcfg.block, max_r
     )
     groups = {
         "rgb": (rgb, 1.0 if white_bg else 0.0, True),
-        "depth": (depth[:, None], 1.0, True),
+        "depth": (depth[:, None], depth_bg, True),
     }
     for k, v in extra.items():
         groups[k] = (v, 0.0, False)

@@ -348,3 +348,36 @@ class TestWithBias:
 
         g = np.asarray(jax.grad(loss)(jnp.zeros((30,))))
         assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+class TestRadiusClamp:
+    def test_big_gaussian_renders_symmetrically(self):
+        """A gaussian larger than the tile cap must render a CENTERED
+        clipped footprint, not the top rows of its rect (the asymmetric
+        truncation caused training collapse)."""
+        n = 1
+        uv = jnp.array([[W / 2, H / 2]], jnp.float32)
+        depth = jnp.ones((n,))
+        # giant isotropic gaussian: radius >> image
+        cov6 = jnp.array([[4.0, 0, 0, 4.0, 0, 4.0]], jnp.float32)
+        from splatter_a_video_tpu.ops.projection import ewa_ortho, max_radius_for_tile_cap
+
+        max_r = max_radius_for_tile_cap(12, 16)
+        conic, radius, tiles, rmin, rmax = ewa_ortho(
+            cov6, jnp.eye(3, 4), uv, W, H, jnp.array([True]), 16, max_r
+        )
+        assert int(tiles[0]) <= 12
+        img, finalT, _, _ = pallas_render(
+            uv, depth, conic, radius, tiles, rmin, rmax,
+            jnp.array([0.9]), jnp.array([[1.0, 0.0, 0.0]]), bg=(0.0, 0.0, 0.0),
+        )
+        T = np.asarray(finalT)
+        cy, cx = H // 2, W // 2
+        # footprint is centered: coverage symmetric about the center
+        assert T[cy, cx] < 0.5
+        left = T[cy, : cx].mean()
+        right = T[cy, cx + 1 :].mean()
+        top = T[: cy, cx].mean()
+        bot = T[cy + 1 :, cx].mean()
+        assert abs(top - bot) < 0.2, (top, bot)
+        assert abs(left - right) < 0.2, (left, right)

@@ -31,14 +31,21 @@ H, W = clip.image_size
 fcfg = fit.FitConfig(
     num_iters=STEPS, num_fg_samples=2000, num_bg_samples=2000,
     num_track_samples=1024, log_every=max(STEPS // 10, 1),
+    capacity_factor=4.0,
 )
+# Densify hypers rescaled for the toy scene: the reference's DAVIS-tuned
+# grad threshold (2e-4 at ~4 px/gaussian coverage) marks nearly EVERY
+# gaussian hot when 1.2k points cover ~500 px each, churning 30-50% of the
+# scene per event and destabilizing training.
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=clip.num_frames,
     num_track_samples=1024, max_intersections=1 << 18,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(
-        densify_start_iter=500, duplicate_interval=100, prune_interval=100,
-        opacity_reset_interval=3000,
+        densify_start_iter=500, duplicate_interval=200, prune_interval=200,
+        densify_stop_iter=int(STEPS * 0.75),
+        opacity_reset_interval=10**9,
+        densify_grad_threshold=0.02, max_radii2d_px=64.0,
     ),
 )
 

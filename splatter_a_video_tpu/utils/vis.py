@@ -101,8 +101,25 @@ def _dot(img: np.ndarray, x: int, y: int, r: int, color: np.ndarray) -> None:
 
 
 def write_video(path: str, frames: Sequence[np.ndarray], fps: int = 8) -> None:
-    """uint8-ify and write an mp4/gif (imageio); frames in [0, 1]."""
+    """uint8-ify and write a video; frames in [0, 1]. Falls back to GIF then
+    per-frame PNGs when no mp4 backend (ffmpeg) is available."""
     import imageio.v2 as imageio
 
     arr = [np.clip(np.asarray(f) * 255, 0, 255).astype(np.uint8) for f in frames]
-    imageio.mimwrite(path, arr, fps=fps)
+    try:
+        imageio.mimwrite(path, arr, fps=fps)
+        return
+    except Exception:
+        pass
+    try:
+        gif = path.rsplit(".", 1)[0] + ".gif"
+        imageio.mimwrite(gif, arr, duration=int(1000 / max(fps, 1)))
+        return
+    except Exception:
+        pass
+    import os
+
+    d = path.rsplit(".", 1)[0] + "_frames"
+    os.makedirs(d, exist_ok=True)
+    for i, f in enumerate(arr):
+        imageio.imwrite(os.path.join(d, f"{i:05d}.png"), f)

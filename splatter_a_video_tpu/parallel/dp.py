@@ -65,9 +65,10 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
             inp = _trainer.scene_render_inputs(sc, batch.t1)
             p2 = sc.get_position(batch.t2)
             ex = {"track_gs": p2}
-            for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
-                if name in inp:
-                    ex[name] = inp[name]
+            if cfg.train_render_attributes:
+                for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+                    if name in inp:
+                        ex[name] = inp[name]
             out = _trainer._render_with_sinks(
                 inp, extr_j, rcfg, ex, cfg.white_bg, uv_sink, abs_sink,
                 depth_bg=cfg.depth_bg,

@@ -145,7 +145,11 @@ def depth_loss_dpt(pred_depth: jnp.ndarray, gt_depth: jnp.ndarray,
                    weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Median/MAD-normalized MSE — the production depth loss
     (`loss.py:184-207`, applied at `trainer_fragGS.py:598-601`)."""
-    t_pred = jnp.median(pred_depth)
+    # The median's subgradient routes the cotangent to a single pixel via a
+    # full-image scatter (~3 ms/step on TPU) while contributing only
+    # one-pixel noise to the shift term — stop-grad it (deviation: the
+    # reference's torch.median does carry that subgradient).
+    t_pred = jax.lax.stop_gradient(jnp.median(pred_depth))
     s_pred = jnp.mean(jnp.abs(pred_depth - t_pred))
     t_gt = jnp.median(gt_depth)
     s_gt = jnp.mean(jnp.abs(gt_depth - t_gt))

@@ -66,6 +66,13 @@ class TrainerConfig:
     arap_knn: int = 5
     num_track_samples: int = 4096      # fixed per-step track batch (padded)
     track_quantile: float = 0.98
+    # blend the configured extra attributes (mask/dino/poly) during TRAINING
+    # renders. The reference renders them every step but its production
+    # losses on them are disabled (`trainer_fragGS.py:629-642` are
+    # `if False:`), so they receive no gradient — skipping them halves the
+    # blend channel count (C 23 -> 7) and the backward reduce cost. Enable
+    # when adding mask/dino supervision.
+    train_render_attributes: bool = False
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
@@ -145,9 +152,10 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
             inp1 = scene_render_inputs(sc, batch.t1)
             pos2 = sc.get_position(batch.t2)
             extra = {"track_gs": pos2}
-            for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
-                if name in inp1:
-                    extra[name] = inp1[name]
+            if cfg.train_render_attributes:
+                for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+                    if name in inp1:
+                        extra[name] = inp1[name]
             out = _render_with_sinks(
                 inp1, extr_j, rcfg, extra, cfg.white_bg, uv_sink, abs_sink,
                 depth_bg=cfg.depth_bg,

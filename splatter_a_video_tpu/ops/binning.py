@@ -163,12 +163,17 @@ def bin_sort_pack(
     # unique indices -> cheap), then transpose once to channel-major for
     # the lane-axis fill
     row_idx = jnp.where(tiles > 0, offs, M)
-    start_vals = (
-        jnp.zeros((M, per_gauss.shape[1]), jnp.float32)
-        .at[row_idx]
-        .set(per_gauss, mode="drop")
+    # four 1-channel scatters, not one [M, 4] row scatter: XLA's TPU scatter
+    # emitter vectorizes scalar updates (profiled <0.6 ms like the marks
+    # histogram above) while multi-channel row updates serialize at ~25M
+    # rows/s (5.2 ms here)
+    start_vals = jnp.stack(
+        [
+            jnp.zeros((M,), jnp.float32).at[row_idx].set(per_gauss[:, c], mode="drop")
+            for c in range(per_gauss.shape[1])
+        ]
     )
-    slot_vals = _fill_forward(has_mark, start_vals.T, M)  # [4, M]
+    slot_vals = _fill_forward(has_mark, start_vals, M)  # [4, M]
 
     depth_s = slot_vals[0]
     rmx = slot_vals[1].astype(jnp.int32)

@@ -137,17 +137,31 @@ def build_cov3d(scaling: jnp.ndarray, rotation: jnp.ndarray, visible=None) -> jn
     Returns: [N, 6] covariance upper triangles.
     """
     q = quat_normalize(rotation)
-    R = quat_to_rotmat(q)  # [N,3,3]
-    M = R * scaling[..., None, :]  # R @ diag(s): scale columns
-    sigma = M @ jnp.swapaxes(M, -1, -2)  # [N,3,3]
+    # Fully scalar-channel formulation: a [N,3,3] batched matmul would put
+    # the size-3 dims on the 128-lane axis (~42x padding waste, profiled at
+    # 3.6 ms/step at 131k gaussians); as elementwise [N] channel math the
+    # whole op is bandwidth-trivial VPU work.
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0, s1, s2 = scaling[..., 0], scaling[..., 1], scaling[..., 2]
+    # M = R diag(s); Sigma = M M^T, so sigma_ab = sum_j R_aj R_bj s_j^2
+    v0, v1, v2 = s0 * s0, s1 * s1, s2 * s2
     cov6 = jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2,
+            r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2,
+            r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2,
+            r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2,
+            r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2,
+            r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2,
         ],
         axis=-1,
     )

@@ -655,13 +655,16 @@ def _build_splat(
         reference's atomicAdd is not).
         """
         nrows = 8 + C
-        mat = dgrad[:nrows].T                                 # [Mg, nrows]
         # columns beyond the last written chunk are UNINITIALIZED device
         # memory (no kernel instance touches them): their garbage ids would
         # scatter garbage grads into random gaussians — mask them to the
         # dropped index
         col_ok = jnp.arange(gidg.shape[0], dtype=jnp.int32) < num_chunks * chunk
         idx = jnp.where((gidg >= 0) & col_ok, gidg, N)
+        # one [Mg, nrows] row scatter-add (~73M rows/s): faster than nrows
+        # scalar scatters (6.2 ms EACH at 939k rows) and than sort+segment
+        # reduce (19.8 ms measured; see memory: tpu-perf-model)
+        mat = dgrad[:nrows].T                                 # [Mg, nrows]
         seg = jnp.zeros((N, nrows), jnp.float32).at[idx].add(mat, mode="drop")
         duv = seg[:, 0:2]
         dconic = seg[:, 2:5]

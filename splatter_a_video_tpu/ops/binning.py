@@ -43,6 +43,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .projection import tile_grid
 
@@ -150,43 +151,42 @@ def bin_sort_pack(
     # only what the sort key needs rides the fill (depth, rect, gid); the
     # full channel block is fetched AFTER the sort by one gather — measured
     # cheaper than carrying 16 channels through the sort network
-    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.float32)
-    per_gauss = jnp.concatenate(
-        [
-            depth.astype(jnp.float32)[:, None],
-            rect_min[:, :2].astype(jnp.float32),
-            rect_w[:, None],
-        ],
-        axis=1,
-    )  # [N, 4] — the owner id needs no fill: it IS the marks cumsum `g`
-    # scatter each *non-empty* gaussian's row to its start slot (monotone
-    # unique indices -> cheap), then transpose once to channel-major for
-    # the lane-axis fill
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    # the two fill channels: IEEE depth bits (positive depths sort correctly
+    # as int) and the rect packed into one s32 (tile coords are < 2^11 up to
+    # 32k-pixel images; rect width <= max_tiles_per_gaussian < 2^10). The
+    # owner id needs no fill: it IS the marks cumsum `g`.
+    depth_bits_g = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.int32
+    )
+    rect_packed = (
+        rect_min[:, 0].astype(jnp.int32)
+        | (rect_min[:, 1].astype(jnp.int32) << 11)
+        | (rect_w << 22)
+    )
+    # scatter each *non-empty* gaussian's start slot with 1-channel scatters:
+    # XLA's TPU emitter vectorizes scalar updates (~0.6 ms each) while a
+    # multi-channel row scatter serializes at ~25M rows/s (5.2 ms here)
     row_idx = jnp.where(tiles > 0, offs, M)
-    # four 1-channel scatters, not one [M, 4] row scatter: XLA's TPU scatter
-    # emitter vectorizes scalar updates (profiled <0.6 ms like the marks
-    # histogram above) while multi-channel row updates serialize at ~25M
-    # rows/s (5.2 ms here)
     start_vals = jnp.stack(
         [
-            jnp.zeros((M,), jnp.float32).at[row_idx].set(per_gauss[:, c], mode="drop")
-            for c in range(per_gauss.shape[1])
+            jnp.zeros((M,), jnp.int32).at[row_idx].set(v, mode="drop")
+            for v in (depth_bits_g, rect_packed)
         ]
     )
-    slot_vals = _fill_forward(has_mark, start_vals, M)  # [4, M]
+    slot_vals = _fill_forward(has_mark, start_vals, M)  # [2, M] int32
 
-    depth_s = slot_vals[0]
-    rmx = slot_vals[1].astype(jnp.int32)
-    rmy = slot_vals[2].astype(jnp.int32)
-    rw = jnp.maximum(slot_vals[3].astype(jnp.int32), 1)
+    rect_s = slot_vals[1]
+    rmx = rect_s & 0x7FF
+    rmy = (rect_s >> 11) & 0x7FF
+    rw = jnp.maximum(rect_s >> 22, 1)
     tx = rmx + j % rw
     ty = rmy + j // rw
     tile_id = jnp.where(valid, ty * tgx + tx, T)
 
     # --- 3. (key, gid) sort + one post-sort channel gather -------------------
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.where(valid, depth_s, jnp.inf), jnp.int32
-    )
+    inf_bits = np.float32(np.inf).view(np.int32).item()
+    depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
     gid_slot = jnp.where(valid, g, -1)
     if sort_mode == "packed" and T < (1 << 11):
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)

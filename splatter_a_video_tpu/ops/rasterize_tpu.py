@@ -160,7 +160,7 @@ def _fwd_kernel(
     astart = (start // chunk) * chunk
     n = pl.cdiv(end - astart, chunk)
     n = jnp.where(end > start, n, 0)
-    tri = _tri_incl(chunk)
+    tri = _tri_excl(chunk)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     st[:] = jnp.concatenate(
@@ -219,11 +219,14 @@ def _fwd_kernel(
         gpos = astart + i * chunk + lane
         lane_ok = (gpos >= start) & (gpos < end)
         alpha_eff, *_ = _chunk_alpha(data, px_x, px_y, lane_ok)
-        log1m = jnp.log(1.0 - alpha_eff)
-        cumT = T * jnp.exp(_cumsum_lanes(log1m, tri))
-        applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         one_m = 1.0 - alpha_eff
-        w = jnp.where(applied, alpha_eff * cumT / one_m, 0.0)
+        log1m = jnp.log(one_m)
+        # EXCLUSIVE transmittance prefix: w = alpha * T_before needs no
+        # divide; the inclusive value (for the termination rule) is one mul
+        cumT_ex = T * jnp.exp(_cumsum_lanes(log1m, tri))
+        cumT = cumT_ex * one_m
+        applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
+        w = jnp.where(applied, alpha_eff * cumT_ex, 0.0)
 
         feats = data[6 : 6 + C, :]
         acc[:] = acc[:] + jax.lax.dot_general(
@@ -308,7 +311,8 @@ def _bwd_kernel(
     n = pl.cdiv(end - astart, chunk)
     n = jnp.where(end > start, n, 0)
     cb = cbase_ref[t]
-    tri = _tri_incl(chunk)
+    tri = _tri_excl(chunk)       # exclusive: per-lane transmittance prefix
+    tri_in = _tri_incl(chunk)    # inclusive: dL/dalpha suffix accumulators
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     g = g_ref[:].reshape(PIX, C)
@@ -398,12 +402,12 @@ def _bwd_kernel(
         alpha_eff, gexp, vx, vy, ca, cb_, cc, op = _chunk_alpha(
             data, px_x, px_y, lane_ok
         )
-        log1m = jnp.log(1.0 - alpha_eff)
-        cumT = T * jnp.exp(_cumsum_lanes(log1m, tri))
-        applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         one_m = 1.0 - alpha_eff
-        w = jnp.where(applied, alpha_eff * cumT / one_m, 0.0)
-        T_excl = cumT / one_m
+        log1m = jnp.log(one_m)
+        T_excl = T * jnp.exp(_cumsum_lanes(log1m, tri))
+        cumT = T_excl * one_m
+        applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
+        w = jnp.where(applied, alpha_eff * T_excl, 0.0)
         appf = applied.astype(jnp.float32)
 
         feats = data[6 : 6 + C, :]
@@ -416,8 +420,8 @@ def _bwd_kernel(
 
         u_all = G_all * w
         u_op = G_op * w
-        pref_all = pre_all + _cumsum_lanes(u_all, tri)
-        pref_op = pre_op + _cumsum_lanes(u_op, tri)
+        pref_all = pre_all + _cumsum_lanes(u_all, tri_in)
+        pref_op = pre_op + _cumsum_lanes(u_op, tri_in)
         suf_all = tot_all - pref_all
         suf_op = tot_op - pref_op
 
@@ -743,6 +747,14 @@ def splat_scene(
     Returns (image [H,W,C], final_T, ncontrib, gs_idx|None, num_intersections).
     `bg` is per-channel; `alpha_grad_mask` marks channels whose gradient
     reaches opacity (0 = the reference's `opacity.detach()` channels).
+
+    CALLER CONTRACT: rects must respect `max_tiles_per_gaussian` — clamp the
+    EWA radius with `projection.max_radius_for_tile_cap` (as
+    `rasterize.render_gaussians` does) BEFORE calling. Oversized rects are
+    silently truncated to the first `max_tiles_per_gaussian` tiles in
+    row-major order, which renders only a band of the footprint. Budget
+    overflow is reported (not hidden) via `num_intersections >
+    max_intersections`.
     """
     if alpha_grad_mask is None:
         alpha_grad_mask = (1.0,) * C

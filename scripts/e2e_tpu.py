@@ -39,6 +39,7 @@ fcfg = fit.FitConfig(
 # scene per event and destabilizing training.
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=clip.num_frames,
+    train_render_attributes=os.environ.get("E2E_ATTRS", "0") == "1",
     num_track_samples=1024, max_intersections=1 << 18,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(

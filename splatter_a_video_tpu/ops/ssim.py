@@ -47,12 +47,21 @@ def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
 
 
 def _blur(img: jnp.ndarray, window_size: int, sigma: float = 1.5) -> jnp.ndarray:
-    """[N, H, W, C] separable same-padded Gaussian blur via two matmuls."""
+    """[N, H, W, C] separable same-padded Gaussian blur via two matmuls.
+
+    Precision.HIGHEST is load-bearing: at the MXU's default bf16 precision
+    the blur carries ~0.2% error, and SSIM's variance terms
+    (blur(img^2) - mu^2) are catastrophic cancellations of O(1) values down
+    to O(1e-3) — bf16 noise swamps them and the SSIM *gradient* becomes
+    garbage (training PSNR regressed 30 -> 18 before this was pinned).
+    HIGHEST (bf16x6 passes ~ f32) restores <1e-6 error at negligible cost.
+    """
     _, H, W, _ = img.shape
     bh = jnp.asarray(_band_matrix(H, window_size, sigma))
     bw = jnp.asarray(_band_matrix(W, window_size, sigma))
-    out = jnp.einsum("hH,nHwc->nhwc", bh, img)
-    return jnp.einsum("wW,nhWc->nhwc", bw, out)
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("hH,nHwc->nhwc", bh, img, precision=hp)
+    return jnp.einsum("wW,nhWc->nhwc", bw, out, precision=hp)
 
 
 def _depthwise_conv(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -212,8 +212,10 @@ def scale_shift_invariant_depth_loss(
 
 
 def denormalize_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """[-1,1] normalized -> pixel coords (`util.py:75-83` convention)."""
-    wh = jnp.array([w - 1.0, h - 1.0], coords.dtype)
+    """[-1,1] normalized -> pixel coords (`util.py:75-83`, ACTIVE branch:
+    (coords+1)*[w,h]/2 — the (w-1)/(h-1) variant is commented out there).
+    Exact inverse of the lifting convention `normalize_xy` (px*2/W - 1)."""
+    wh = jnp.array([w, h], coords.dtype)
     return (coords + 1.0) * 0.5 * wh
 
 

@@ -21,7 +21,7 @@ from splatter_a_video_tpu.models import camera
 from splatter_a_video_tpu.ops import rasterize
 from splatter_a_video_tpu.train import density, fit, optim, trainer
 
-STEPS = int(os.environ.get("E2E_STEPS", "1500"))
+STEPS = int(os.environ.get("E2E_STEPS", "3000"))
 
 clip = synthetic.make_clip(
     synthetic.SyntheticClipConfig(width=256, height=192, num_frames=24,
@@ -40,6 +40,10 @@ fcfg = fit.FitConfig(
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=clip.num_frames,
     train_render_attributes=os.environ.get("E2E_ATTRS", "0") == "1",
+    # toy-scene flow weight: at ~1.4k-gaussian density the photometric term
+    # alone "cheats" correspondence (homogeneous blobs), so the toy weights
+    # flow 20 (production DAVIS config keeps the reference's 2).
+    loss_flow_weight=float(os.environ.get("E2E_FLOW_W", "20.0")),
     num_track_samples=1024, max_intersections=1 << 18,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(

@@ -136,26 +136,18 @@ def bin_sort_pack(
     offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
     total = offs[-1] + tiles[-1]
 
-    # --- 1. ragged expansion via marks + scans -------------------------------
+    # --- 1 + 2. ragged expansion: three 1-channel start scatters + scans ----
+    # Each *non-empty* gaussian scatters (owner id, depth bits, packed rect)
+    # to its start slot; empty gaussians go to the dropped sentinel, so the
+    # owner of any slot is the cummax of scattered ids (largest g with
+    # offs[g] <= s). 1-channel scatters are the fast shape here: XLA's TPU
+    # emitter vectorizes scalar updates (~0.6 ms each) while a multi-channel
+    # row scatter serializes at ~25M rows/s (5.2 ms).
     s = jnp.arange(M, dtype=jnp.int32)
-    # one mark per gaussian; empty gaussians stack on the next start so the
-    # cumsum yields the true owner (largest g with offs[g] <= s)
-    marks_cnt = jnp.zeros((M,), jnp.int32).at[offs].add(1, mode="drop")
-    has_mark = marks_cnt > 0
-    g = jnp.clip(jnp.cumsum(marks_cnt) - 1, 0, N - 1)  # owner gaussian index
-    start_pos = jax.lax.cummax(jnp.where(has_mark, s, -1))
-    j = s - start_pos
-    valid = s < total
-
-    # --- 2. per-slot geometry via fill-forward -------------------------------
-    # only what the sort key needs rides the fill (depth, rect, gid); the
-    # full channel block is fetched AFTER the sort by one gather — measured
-    # cheaper than carrying 16 channels through the sort network
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
-    # the two fill channels: IEEE depth bits (positive depths sort correctly
-    # as int) and the rect packed into one s32 (tile coords are < 2^11 up to
-    # 32k-pixel images; rect width <= max_tiles_per_gaussian < 2^10). The
-    # owner id needs no fill: it IS the marks cumsum `g`.
+    # fill channels: IEEE depth bits (positive depths sort correctly as int)
+    # and the rect packed into one s32 (tile coords are < 2^11 up to
+    # 32k-pixel images; rect width <= max_tiles_per_gaussian < 2^10)
     depth_bits_g = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
     )
@@ -164,10 +156,21 @@ def bin_sort_pack(
         | (rect_min[:, 1].astype(jnp.int32) << 11)
         | (rect_w << 22)
     )
-    # scatter each *non-empty* gaussian's start slot with 1-channel scatters:
-    # XLA's TPU emitter vectorizes scalar updates (~0.6 ms each) while a
-    # multi-channel row scatter serializes at ~25M rows/s (5.2 ms here)
     row_idx = jnp.where(tiles > 0, offs, M)
+    g_scat = (
+        jnp.full((M,), -1, jnp.int32)
+        .at[row_idx]
+        .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    )
+    has_mark = g_scat >= 0
+    g = jnp.clip(jax.lax.cummax(g_scat), 0, N - 1)  # owner gaussian index
+    start_pos = jax.lax.cummax(jnp.where(has_mark, s, -1))
+    j = s - start_pos
+    valid = s < total
+
+    # only what the sort key needs rides the fill; the full channel block is
+    # fetched AFTER the sort by one gather — measured cheaper than carrying
+    # 16 channels through the sort network
     start_vals = jnp.stack(
         [
             jnp.zeros((M,), jnp.int32).at[row_idx].set(v, mode="drop")

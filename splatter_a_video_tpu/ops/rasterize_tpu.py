@@ -68,8 +68,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def packed_rows(C: int) -> int:
-    """Rows of the packed stream: uv(2) conic(3) opacity(1) features(C)
-    abs-sink(2), padded to a multiple of 8 sublanes."""
+    """Rows of the packed stream: uv(2) conic(3) opacity(1) features(C),
+    padded to a multiple of 8 sublanes. The abs-sink values are NOT packed:
+    they are all-zero gradient sinks that no kernel reads (the bwd kernel
+    only WRITES |duv| into the grad buffer's abs rows)."""
+    return _round_up(6 + C, 8)
+
+
+def grad_rows(C: int) -> int:
+    """Rows of the bwd grad buffer: duv(2) dconic(3) dop(1) dfeat(C)
+    dabs(2), padded to a multiple of 8 sublanes."""
     return _round_up(8 + C, 8)
 
 
@@ -295,6 +303,7 @@ def _bwd_kernel(
     *,
     C: int,
     D: int,
+    Dg: int,
     chunk: int,
     tgx: int,
     tw: int,
@@ -450,9 +459,9 @@ def _bwd_kernel(
         grad = jnp.concatenate(
             [duvx, duvy, dca, dcb, dcc, dop, dfeat, dabsx, dabsy], axis=0
         )
-        if D > 8 + C:
+        if Dg > 8 + C:
             grad = jnp.concatenate(
-                [grad, jnp.zeros((D - (8 + C), chunk), jnp.float32)], axis=0
+                [grad, jnp.zeros((Dg - (8 + C), chunk), jnp.float32)], axis=0
             )
         obuf[slot] = grad
         # gid per grad column; out-of-range lanes carry -1 so the reduction
@@ -523,6 +532,7 @@ def _build_splat(
     the bwd reduces per-slot kernel gradients to per-Gaussian cotangents
     with a sort + running-sum (deterministic, scatter-free)."""
     D = packed_rows(C)
+    Dg = grad_rows(C)
     tw, th = tile_wh
     PIX = tw * th
     tgx = -(-W // tw)
@@ -549,8 +559,10 @@ def _build_splat(
 
     def run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
                     rect_min, rect_max):
+        # abs_sink values are NOT packed: they are all-zero gradient sinks
+        # no kernel reads (their grads come from the bwd buffer's abs rows)
         channels = jnp.concatenate(
-            [uv, conic, opacity[:, None], features, abs_sink], axis=1
+            [uv, conic, opacity[:, None], features], axis=1
         )
         return _binning.bin_sort_pack(
             depth, tiles, rect_min, rect_max, channels, W, H,
@@ -609,7 +621,7 @@ def _build_splat(
         out_t = img_to_tiles(out)
         finalT_t = img_to_tiles(finalT[..., None])
         kernel = functools.partial(
-            _bwd_kernel, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
+            _bwd_kernel, C=C, D=D, Dg=Dg, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
             alpha_grad_mask=alpha_grad_mask,
         )
         dgrad, gidg = pl.pallas_call(
@@ -633,7 +645,7 @@ def _build_splat(
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((2, 1, chunk), jnp.int32),
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((2, D, chunk), jnp.float32),
+                    pltpu.VMEM((2, Dg, chunk), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((2, 1, chunk), jnp.int32),
                     pltpu.SemaphoreType.DMA((2,)),
@@ -641,7 +653,7 @@ def _build_splat(
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((D, Mg), jnp.float32),
+                jax.ShapeDtypeStruct((Dg, Mg), jnp.float32),
                 jax.ShapeDtypeStruct((1, Mg), jnp.int32),
             ],
             interpret=interpret,

@@ -105,6 +105,82 @@ def trimmed_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, quantile: float = 0.9) -
     return jnp.sum(err * m) / (jnp.sum(m) + 1e-8)
 
 
+def _trim_mask(per_row_err: jnp.ndarray, quantile: float) -> jnp.ndarray:
+    return (per_row_err < jnp.quantile(per_row_err, quantile)).astype(
+        per_row_err.dtype
+    )
+
+
+def trimmed_mse_loss(pred, gt, mask=None, quantile: float = 0.9):
+    """Parity with `criterion.py:85-95` (static-shape: boolean indexing
+    becomes weight masking)."""
+    err = jnp.mean((pred - gt) ** 2, axis=-1)
+    keep = _trim_mask(err, quantile)
+    if mask is not None:
+        w = keep * mask
+        return jnp.sum(err * w) / (jnp.sum(w) + 1e-8)
+    return jnp.sum(err * keep) / (jnp.sum(keep) + 1e-8)
+
+
+def trimmed_std_normed_l1_loss(pred, gt, quantile: float = 0.9):
+    """Parity with `criterion.py:75-82`: per-dim std (over trimmed rows)
+    normalizes the L1 map."""
+    err = jnp.abs(pred - gt)
+    keep = _trim_mask(jnp.mean(err, axis=-1), quantile)[:, None]
+    n = jnp.sum(keep) + 1e-8
+    def _std(x):
+        mu = jnp.sum(x * keep, axis=0) / n
+        return jnp.sqrt(jnp.sum(((x - mu) ** 2) * keep, axis=0) / jnp.maximum(n - 1, 1))
+    std = 0.5 * (_std(pred) + _std(gt))
+    return jnp.mean(err / (std + 1e-12))
+
+
+def trimmed_var_normed_mse_loss(pred, gt, quantile: float = 0.9):
+    """Parity with `criterion.py:97-105`."""
+    err = (pred - gt) ** 2
+    keep = _trim_mask(jnp.mean(err, axis=-1), quantile)[:, None]
+    n = jnp.sum(keep) + 1e-8
+    def _var(x):
+        mu = jnp.sum(x * keep, axis=0) / n
+        return jnp.sum(((x - mu) ** 2) * keep, axis=0) / jnp.maximum(n - 1, 1)
+    var = 0.5 * (_var(pred) + _var(gt))
+    return jnp.mean(err / (var + 1e-12))
+
+
+def depth_range_loss(depth: jnp.ndarray, min_th: float = 0.0, max_th: float = 2.0):
+    """Quadratic penalty outside [min_th, max_th] — parity with
+    `compute_depth_range_loss` (`criterion.py:107-113`)."""
+    lower = jnp.where(depth < min_th, (depth - min_th) ** 2, 0.0)
+    upper = jnp.where(depth > max_th, (depth - max_th) ** 2, 0.0)
+    return (jnp.sum(lower) + jnp.sum(upper)) / depth.size
+
+
+def distortion_loss(t: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """MipNeRF-360 distortion: iint w_i w_j |t_i - t_j| — parity with
+    `lossfun_distortion` (`criterion.py:116-126`). t: [..., K+1] interval
+    edges, w: [..., K] weights."""
+    ut = (t[..., 1:] + t[..., :-1]) / 2
+    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
+    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3
+    return jnp.mean(loss_inter + loss_intra)
+
+
+def flow_smoothness_loss(flow: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Alpha-weighted total variation of a flow field — parity with
+    `get_flow_smoothness_loss` (`criterion.py:364-370`), NHWC-adapted:
+    flow [H, W, 2], alpha [H, W, 1]."""
+    gx = jnp.linalg.norm(flow[1:, :, :] - flow[:-1, :, :], axis=-1, keepdims=True)
+    gy = jnp.linalg.norm(flow[:, 1:, :] - flow[:, :-1, :], axis=-1, keepdims=True)
+    cost = jnp.sum(alpha[1:, :, :] * gx) + jnp.sum(alpha[:, 1:, :] * gy)
+    return cost / (2 * jnp.sum(alpha) + 1e-6)
+
+
+def normalize_minus_one_to_one(x: jnp.ndarray) -> jnp.ndarray:
+    """Parity with `criterion.py:358-361`."""
+    return 2.0 * (x - x.min()) / (x.max() - x.min()) - 1.0
+
+
 def masked_mse_loss(pred, gt, mask=None, normalize=True):
     """Parity with `criterion.py:21-30`."""
     err = (pred - gt) ** 2

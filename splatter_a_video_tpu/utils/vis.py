@@ -100,6 +100,44 @@ def _dot(img: np.ndarray, x: int, y: int, r: int, color: np.ndarray) -> None:
     img[y0:y1, x0:x1] = color
 
 
+def draw_matches(
+    img1: np.ndarray,
+    img2: np.ndarray,
+    px1: np.ndarray,
+    px2: np.ndarray,
+    num: int = 40,
+) -> np.ndarray:
+    """Side-by-side correspondence visualization (parity target:
+    `drawMatches`, `/root/reference/src/util.py`): img pair stacked
+    horizontally with lines px1[i] -> px2[i] (+W offset)."""
+    H = max(img1.shape[0], img2.shape[0])
+    W1, W2 = img1.shape[1], img2.shape[1]
+    canvas = np.zeros((H, W1 + W2, 3), np.float32)
+    canvas[: img1.shape[0], :W1] = img1
+    canvas[: img2.shape[0], W1:] = img2
+    n = min(num, len(px1))
+    idx = np.linspace(0, len(px1) - 1, n).astype(int)
+    colors = _track_colors(n)
+    for c, i in enumerate(idx):
+        x1, y1 = px1[i]
+        x2, y2 = px2[i]
+        _line(canvas, float(x1), float(y1), float(x2) + W1, float(y2), colors[c])
+        _dot(canvas, int(round(x1)), int(round(y1)), 1, colors[c])
+        _dot(canvas, int(round(x2)) + W1, int(round(y2)), 1, colors[c])
+    return canvas
+
+
+def _line(img: np.ndarray, x0: float, y0: float, x1: float, y1: float, color) -> None:
+    H, W = img.shape[:2]
+    steps = int(max(abs(x1 - x0), abs(y1 - y0), 1))
+    for s in range(steps + 1):
+        t = s / steps
+        x = int(round(x0 + (x1 - x0) * t))
+        y = int(round(y0 + (y1 - y0) * t))
+        if 0 <= x < W and 0 <= y < H:
+            img[y, x] = color
+
+
 def write_video(path: str, frames: Sequence[np.ndarray], fps: int = 8) -> None:
     """uint8-ify and write a video; frames in [0, 1]. Falls back to GIF then
     per-frame PNGs when no mp4 backend (ffmpeg) is available."""

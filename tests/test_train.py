@@ -238,6 +238,68 @@ class TestDensityUnit:
         assert checked > 0
 
 
+class TestCriterionLibrary:
+    """Cross-check the criterion-library ports against torch reference
+    semantics (`/root/reference/src/criterion.py`)."""
+
+    def test_trimmed_mse_matches_torch_semantics(self):
+        import torch
+
+        rng = np.random.RandomState(0)
+        p = rng.rand(64, 3).astype(np.float32)
+        g = rng.rand(64, 3).astype(np.float32)
+        ours = float(losses.trimmed_mse_loss(jnp.asarray(p), jnp.asarray(g)))
+        tp, tg = torch.tensor(p), torch.tensor(g)
+        loss = torch.nn.functional.mse_loss(tp, tg, reduction="none").mean(-1)
+        ref = loss[loss < torch.quantile(loss, 0.9)].mean()
+        assert abs(ours - float(ref)) < 1e-5
+
+    def test_depth_range_loss(self):
+        import torch
+
+        rng = np.random.RandomState(1)
+        d = (rng.rand(100).astype(np.float32) * 4.0) - 1.0
+        ours = float(losses.depth_range_loss(jnp.asarray(d), 0.0, 2.0))
+        td = torch.tensor(d)
+        ref = (
+            ((td[td < 0.0]) ** 2).sum() + ((td[td > 2.0] - 2.0) ** 2).sum()
+        ) / td.numel()
+        assert abs(ours - float(ref)) < 1e-6
+        assert float(losses.depth_range_loss(jnp.ones(10), 0.0, 2.0)) == 0.0
+
+    def test_distortion_loss(self):
+        import torch
+
+        rng = np.random.RandomState(2)
+        t = np.sort(rng.rand(4, 9).astype(np.float32), axis=-1)
+        w = rng.rand(4, 8).astype(np.float32)
+        ours = float(losses.distortion_loss(jnp.asarray(t), jnp.asarray(w)))
+        tt, tw = torch.tensor(t), torch.tensor(w)
+        ut = (tt[..., 1:] + tt[..., :-1]) / 2
+        dut = torch.abs(ut[..., :, None] - ut[..., None, :])
+        inter = torch.sum(tw * torch.sum(tw[..., None, :] * dut, dim=-1), dim=-1)
+        intra = torch.sum(tw**2 * (tt[..., 1:] - tt[..., :-1]), dim=-1) / 3
+        assert abs(ours - float((inter + intra).mean())) < 1e-5
+
+    def test_flow_smoothness_and_norm_helpers(self):
+        rng = np.random.RandomState(3)
+        flow = jnp.asarray(rng.rand(8, 9, 2).astype(np.float32))
+        alpha = jnp.ones((8, 9, 1), jnp.float32)
+        v = float(losses.flow_smoothness_loss(flow, alpha))
+        assert np.isfinite(v) and v > 0
+        # constant flow -> zero smoothness cost
+        assert float(losses.flow_smoothness_loss(jnp.ones((8, 9, 2)), alpha)) == 0.0
+        x = losses.normalize_minus_one_to_one(jnp.asarray([1.0, 2.0, 3.0]))
+        assert float(x.min()) == -1.0 and float(x.max()) == 1.0
+
+    def test_std_and_var_normed(self):
+        rng = np.random.RandomState(4)
+        p = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+        g = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+        assert np.isfinite(float(losses.trimmed_std_normed_l1_loss(p, g)))
+        assert np.isfinite(float(losses.trimmed_var_normed_mse_loss(p, g)))
+
+
 class TestLossUnits:
     def test_masked_l1_quantile(self):
         pred = jnp.zeros((10, 2))

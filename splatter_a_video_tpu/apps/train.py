@@ -56,6 +56,7 @@ def main(argv=None):
         capacity_factor=args.capacity_factor,
         log_every=args.i_print,
         seed=args.seed,
+        profile_dir=args.profile_dir,
     )
     tcfg = trainer_lib.TrainerConfig(
         width=W,

@@ -42,6 +42,16 @@ class FitConfig:
     num_track_samples: int = 4096
     log_every: int = 100
     seed: int = 0
+    # NaN guard — the reference drops into pdb on a NaN loss
+    # (`trainer_fragGS.py:754-755`); here a non-finite loss at a log
+    # boundary raises with the offending step's metrics so a crashed run
+    # fails loudly instead of training on garbage.
+    nan_guard: bool = True
+    # capture a jax.profiler device trace for steps [start, start+count)
+    # into this directory (None = off)
+    profile_dir: Optional[str] = None
+    profile_start: int = 200
+    profile_count: int = 5
 
 
 def build_scene_from_clip(
@@ -114,9 +124,18 @@ def fit_clip(
 
     history: List[Dict] = []
     t_start = time.time()
+    profiling = False
     for step, batch in enumerate(
         batch_stream(sampler, builder, fit_cfg.num_iters), start=1
     ):
+        if fit_cfg.profile_dir is not None:
+            if step == fit_cfg.profile_start:
+                jax.profiler.start_trace(fit_cfg.profile_dir)
+                profiling = True
+            elif profiling and step == fit_cfg.profile_start + fit_cfg.profile_count:
+                jax.block_until_ready(state.scene.params["position"])
+                jax.profiler.stop_trace()
+                profiling = False
         state, metrics = train_step(state, batch)
         if _trainer.should_densify(trainer_cfg, step):
             state, dinfo = density_step(state)
@@ -128,6 +147,13 @@ def fit_clip(
             m["alive"] = int(state.scene.num_alive)
             m["wall_s"] = time.time() - t_start
             history.append(m)
+            if fit_cfg.nan_guard and not np.isfinite(m.get("loss", 0.0)):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {m} "
+                    "(reference behavior: pdb trap, trainer_fragGS.py:754)"
+                )
             if callback:
                 callback(step, m)
+    if profiling:
+        jax.profiler.stop_trace()
     return state, history

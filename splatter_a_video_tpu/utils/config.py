@@ -87,6 +87,9 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--capacity_factor", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--i_print", type=int, default=100)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of a few "
+                        "steady-state train steps into this directory")
     p.add_argument("--i_img", type=int, default=500)
     p.add_argument("--i_weight", type=int, default=5000)
     p.add_argument("--synthetic", action="store_true",

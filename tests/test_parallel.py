@@ -1,0 +1,125 @@
+"""Multi-device tests on the virtual 8-CPU mesh (conftest sets
+jax_num_cpu_devices=8): data-parallel training step and depth-slab
+model-parallel rendering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.models import camera, gaussians
+from splatter_a_video_tpu.ops import rasterize
+from splatter_a_video_tpu.parallel import dp, mesh as mesh_lib, render_shard
+from splatter_a_video_tpu.train import optim, trainer
+
+
+def _scene(N=2048, W=128, H=96, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = np.concatenate(
+        [rng.uniform(-0.9, 0.9, (N, 2)), rng.uniform(0.6, 1.8, (N, 1))], 1
+    ).astype(np.float32)
+    scfg = gaussians.SceneConfig(capacity=N, num_frames=4)
+    return gaussians.create_scene(
+        scfg, pos, rng.rand(N, 3).astype(np.float32), init_opacity=0.7
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestShardedRender:
+    def test_matches_single_chip(self):
+        W, H = 128, 96
+        scene = _scene(W=W, H=H)
+        cam = camera.canonical_camera(W, H)
+        rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=1 << 16)
+        m = render_shard.make_render_mesh(8)
+        out = render_shard.render_gaussians_sharded(
+            scene.get_position(0.0), scene.get_scaling(), scene.get_rotation(0.0),
+            scene.get_opacity(), scene.get_shs(), jnp.eye(3, 4), rcfg, m,
+        )
+        ref = rasterize.render_gaussians(
+            scene.get_position(0.0), scene.get_scaling(), scene.get_rotation(0.0),
+            scene.get_opacity(), scene.get_shs(), jnp.eye(3, 4), rcfg,
+        )
+        # exact up to fold associativity + slab-local early termination
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref.features["rgb"]), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["final_T"][..., 0]), np.asarray(ref.final_T), atol=2e-3
+        )
+
+    def test_opaque_front_slab_occludes(self):
+        # a fully-opaque near wall must hide everything in rear slabs
+        W, H = 64, 64
+        N = 1024
+        rng = np.random.RandomState(1)
+        pos = np.concatenate(
+            [rng.uniform(-0.5, 0.5, (N, 2)), rng.uniform(1.0, 1.8, (N, 1))], 1
+        ).astype(np.float32)
+        # near wall; depths spaced above the packed sort key's 21-bit
+        # depth quantization (~1.2e-4 at z=0.6) — quantized ties have
+        # ill-defined order that differs between the slab argsort and the
+        # packed binning sort (documented deviation #1 in PARITY.md)
+        pos[:128, 2] = 0.6 + np.arange(128) * 1e-3
+        scfg = gaussians.SceneConfig(capacity=N, num_frames=4)
+        scene = gaussians.create_scene(
+            scfg, pos, rng.rand(N, 3).astype(np.float32), init_opacity=0.99
+        )
+        rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=1 << 15)
+        m = render_shard.make_render_mesh(8)
+        out = render_shard.render_gaussians_sharded(
+            scene.get_position(0.0), scene.get_scaling(), scene.get_rotation(0.0),
+            scene.get_opacity(), scene.get_shs(), jnp.eye(3, 4), rcfg, m,
+        )
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+        ref = rasterize.render_gaussians(
+            scene.get_position(0.0), scene.get_scaling(), scene.get_rotation(0.0),
+            scene.get_opacity(), scene.get_shs(), jnp.eye(3, 4), rcfg,
+        )
+        # single-chip early termination truncates the post-crossing tail
+        # at residual T up to 1e-4/(1-0.99) = 1e-2; the sharded render
+        # composites it (closer to exact compositing) — tolerance is that
+        # bound, see render_shard.py docstring
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref.features["rgb"]), atol=1.2e-2
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestDataParallelStep:
+    def test_dp_step_runs_and_reduces(self):
+        W, H, T = 96, 64, 8
+        rng = np.random.RandomState(0)
+        scene = _scene(N=1024, W=W, H=H)
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=T, num_track_samples=64,
+            max_intersections=1 << 15, optim=optim.OptimConfig(max_steps=100),
+        )
+        cam = camera.canonical_camera(W, H)
+        m = mesh_lib.make_mesh(8)
+        step = dp.make_dp_train_step(tcfg, np.asarray(cam.extrinsic), m)
+        state = trainer.init_train_state(tcfg, scene)
+        B = 8
+        qp = rng.uniform(0, [W - 1, H - 1], (B, 64, 2)).astype(np.float32)
+        batch = trainer.Batch(
+            t1=jnp.zeros((B,), jnp.int32),
+            t2=jnp.full((B,), 4, jnp.int32),
+            rgb1=jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32)),
+            depth1=jnp.asarray(rng.rand(B, H, W).astype(np.float32) + 0.5),
+            query_px=jnp.asarray(qp),
+            target_tracks=jnp.asarray(
+                np.concatenate([qp, -5 * np.ones((B, 64, 2))], -1).astype(np.float32)
+            ),
+            track_valid=jnp.ones((B, 64), bool),
+        )
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        moved = jax.tree_util.tree_reduce(
+            lambda a, kv: a or bool(kv),
+            jax.tree_util.tree_map(
+                lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+                state.scene.params, state2.scene.params,
+            ),
+            False,
+        )
+        assert moved

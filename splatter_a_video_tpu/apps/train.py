@@ -77,7 +77,16 @@ def main(argv=None):
         )
         print(line, flush=True)
 
-    state, history = fit_lib.fit_clip(data, fcfg, tcfg, callback=cb)
+    from ..train import hooks as hooks_lib
+
+    hooks = [
+        hooks_lib.LogHook(print_every=0, tensorboard=bool(args.tensorboard)),
+        hooks_lib.CheckPointHook(every=args.i_weight),
+    ]
+    state, history = fit_lib.fit_clip(
+        data, fcfg, tcfg, callback=cb, hooks=hooks,
+        out_dir=args.out_dir, resume=args.resume,
+    )
     ckpt_lib.save_checkpoint(args.out_dir, state, int(state.step))
     from .train_state_io import save_scene_cfg
 

@@ -137,6 +137,7 @@ def batch_stream(
     builder: BatchBuilder,
     num_steps: int,
     prefetch: int = 2,
+    start_step: int = 0,
 ) -> Iterator[Batch]:
     """Background-thread prefetching batch iterator.
 
@@ -148,7 +149,7 @@ def batch_stream(
     stop = threading.Event()
 
     def worker():
-        for step in range(num_steps):
+        for step in range(start_step, num_steps):
             if stop.is_set():
                 return
             t1, t2 = sampler.sample(step)

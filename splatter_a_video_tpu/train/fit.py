@@ -101,8 +101,17 @@ def fit_clip(
     fit_cfg: Optional[FitConfig] = None,
     trainer_cfg: Optional[_trainer.TrainerConfig] = None,
     callback: Optional[Callable[[int, Dict], None]] = None,
+    hooks: Optional[List] = None,
+    out_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> Tuple[_trainer.TrainState, List[Dict]]:
-    """Fit one clip end-to-end. Returns (final state, metric history)."""
+    """Fit one clip end-to-end. Returns (final state, metric history).
+
+    hooks: `train.hooks.Hook` list run at the reference's lifecycle sites
+    (before_train / after_train_iter / after_train) with a `HookContext`.
+    resume=True restores the latest orbax checkpoint under `out_dir` and
+    continues from its step — the `load_from_ckpt` auto-resume behavior
+    (`trainer_fragGS.py:968-997`)."""
     fit_cfg = fit_cfg or FitConfig()
     H, W = data.image_size
     if trainer_cfg is None:
@@ -118,6 +127,21 @@ def fit_clip(
         trainer_cfg, cam.extrinsic
     )
     state = _trainer.init_train_state(trainer_cfg, scene, seed=fit_cfg.seed)
+    start_step = 0
+    if resume and out_dir is not None:
+        from ..utils import checkpoint as _ckpt
+
+        restored, ck_step = _ckpt.restore_checkpoint(out_dir, state)
+        if restored is not None:
+            state, start_step = restored, int(ck_step)
+            print(f"resumed from {out_dir} at step {start_step}", flush=True)
+
+    from .hooks import HookContext, run_hooks
+
+    hooks = hooks or []
+    ctx = HookContext(out_dir or ".", cfg=trainer_cfg)
+    ctx.state = state
+    run_hooks(hooks, "before_train", ctx)
 
     sampler = PairSampler(PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed))
     builder = BatchBuilder(data, fit_cfg.num_track_samples, seed=fit_cfg.seed)
@@ -126,7 +150,8 @@ def fit_clip(
     t_start = time.time()
     profiling = False
     for step, batch in enumerate(
-        batch_stream(sampler, builder, fit_cfg.num_iters), start=1
+        batch_stream(sampler, builder, fit_cfg.num_iters, start_step=start_step),
+        start=start_step + 1,
     ):
         if fit_cfg.profile_dir is not None:
             if step == fit_cfg.profile_start:
@@ -154,6 +179,13 @@ def fit_clip(
                 )
             if callback:
                 callback(step, m)
+            ctx.step = step
+            ctx.metrics = m
+            ctx.state = state
+            run_hooks(hooks, "after_train_iter", ctx)
     if profiling:
         jax.profiler.stop_trace()
+    ctx.step = int(state.step)
+    ctx.state = state
+    run_hooks(hooks, "after_train", ctx)
     return state, history

@@ -92,6 +92,9 @@ def make_arg_parser() -> argparse.ArgumentParser:
                         "steady-state train steps into this directory")
     p.add_argument("--i_img", type=int, default=500)
     p.add_argument("--i_weight", type=int, default=5000)
+    p.add_argument("--resume", action="store_true",
+                   help="auto-resume from the latest checkpoint in out_dir")
+    p.add_argument("--tensorboard", type=int, default=1)
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic clip (no datadir needed)")
     p.add_argument("--distributed", type=int, default=0,

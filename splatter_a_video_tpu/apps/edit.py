@@ -22,7 +22,7 @@ def main(argv=None):
     p = argparse.ArgumentParser("sav-edit")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--mode", default="appearance",
-                   choices=["appearance", "layers", "addfg"])
+                   choices=["appearance", "appearance_img", "layers", "addfg"])
     p.add_argument("--mask", default=None)
     p.add_argument("--target", default=None)
     p.add_argument("--delta", type=float, nargs=3, default=[0.2, 0.0, 0.0])
@@ -51,7 +51,20 @@ def main(argv=None):
     cam = cam_lib.canonical_camera(W, H)
     rcfg = raster_lib.RasterizeConfig(width=W, height=H)
 
-    if args.mode == "appearance":
+    if args.mode == "appearance_img":
+        # whole-frame appearance transfer (optimize_appearance_from_img):
+        # every alive gaussian's SH re-optimized, geometry frozen
+        import imageio.v2 as imageio
+
+        target = np.asarray(imageio.imread(args.target), np.float32)[..., :3] / 255.0
+        edited = inference.optimize_appearance_from_img(
+            scene, target, cam, rcfg, steps=args.steps
+        )
+        res = inference.render_video(edited, cam, rcfg, list(range(T)))
+        out = args.out or os.path.join(args.ckpt, "editing_img.mp4")
+        vis_lib.write_video(out, res["rgb"])
+        print(f"wrote {out}")
+    elif args.mode == "appearance":
         import imageio.v2 as imageio
 
         target = np.asarray(imageio.imread(args.target), np.float32)[..., :3] / 255.0

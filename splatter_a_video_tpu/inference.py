@@ -323,6 +323,27 @@ def optimize_appearance(
     return scene.replace(params=params)
 
 
+def optimize_appearance_from_img(
+    scene: GaussianScene,
+    target_img: np.ndarray,
+    cam: _camera.Camera,
+    rcfg: _raster.RasterizeConfig,
+    t: float = 0.0,
+    steps: int = 1000,
+    lr: float = 2.5e-3,
+    loss_tol: float = 1e-4,
+) -> GaussianScene:
+    """Whole-frame appearance transfer: re-optimize ALL alive Gaussians'
+    SH against an edited frame with geometry frozen — parity with
+    `optimize_appearance_from_img` (`trainer_fragGS.py:1066-1123`), which
+    is the mask variant with the selection widened to every point."""
+    selected = np.nonzero(np.asarray(scene.alive))[0]
+    return optimize_appearance(
+        scene, selected, target_img, cam, rcfg, t=t, steps=steps, lr=lr,
+        loss_tol=loss_tol,
+    )
+
+
 def split_layers(scene: GaussianScene, threshold: float = 0.5):
     """fg/bg layer masks from the learned mask attribute — parity with
     `render_part` (`trainer_fragGS.py:1310-1341`). Returns (fg_scene,

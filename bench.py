@@ -63,7 +63,10 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=50):
     extr = jnp.asarray(cam.extrinsic)
     rcfg = rasterize.RasterizeConfig(
         width=W, height=H, max_intersections=max_int,
-        # 16x16 tiles measured faster than 32x16 (less wasted VPU per chunk)
+        # 32x16 tiles + tight rects measured fastest (sweep_render.py) AND
+        # honest: the scene's 335k true intersections fit the 384k budget
+        # (the old 16x16 config truncated 699k disc-rect intersections)
+        block_x=32, block_y=16,
     )
 
     @jax.jit

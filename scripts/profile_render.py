@@ -19,7 +19,7 @@ from splatter_a_video_tpu.models import camera
 from splatter_a_video_tpu.ops import quaternion, rasterize
 
 W, H, N = 854, 480, 100_000
-cfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=1 << 19)
+cfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=3 << 17, block_x=32, block_y=16)
 key = jax.random.PRNGKey(0)
 k = jax.random.split(key, 6)
 xyz = jnp.concatenate(

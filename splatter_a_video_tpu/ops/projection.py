@@ -140,7 +140,7 @@ def max_radius_for_tile_cap(max_tiles: int, block) -> float:
 
 def _finish_cov2d(
     cov2d_00, cov2d_01, cov2d_11, uv, W: int, H: int, visible, block: int,
-    max_radius=None,
+    max_radius=None, rect_mode: str = "tight", opacity=None,
 ):
     """Shared tail of both EWA paths: blur, conic, radius, tile rect.
 
@@ -149,12 +149,25 @@ def _finish_cov2d(
     discriminant clamped at 0.1, radius = ceil(3 sqrt(lambda_max)), tile rect
     from uv +- radius clamped to the tile grid.
 
-    `max_radius` (pixels) clamps oversized footprints SYMMETRICALLY so they
-    stay within the binning's static per-Gaussian tile cap — without it,
-    the cap would truncate a huge Gaussian to the top rows of its rect,
-    producing banding artifacts and runaway-growth gradients (the reference
-    has no cap; its optimizer prunes world-size > 0.1*extent instead,
-    `gs_optimizer.py:364-366`, which still applies here on top).
+    `rect_mode` selects the tile footprint (deviation #11, PARITY.md):
+      - "disc" (reference parity): square rect of half-size `radius`
+        (`ewa_project.cu:70-74`, `dptr_ortho_enhanced.py:95-103`).
+      - "tight" (default): the exact axis-aligned bounding box of the
+        3-sigma ellipse of the BLURRED covariance, rx = ceil(3 sqrt(Sigma00)),
+        ry = ceil(3 sqrt(Sigma11)). Strictly contained in the disc rect, so
+        the only dropped contributions have power < -4.5, i.e.
+        alpha < 0.011 * opacity — below any visible threshold and on par
+        with the reference's own alpha < 1/255 skip. For anisotropic
+        Gaussians this cuts the intersection count 1.5-2x, which is the
+        rasterizer's main cost axis on TPU (binning scales with slots).
+
+    `max_radius` (pixels) clamps oversized footprints SYMMETRICALLY (per
+    axis in "tight" mode) so they stay within the binning's static
+    per-Gaussian tile cap — without it, the cap would truncate a huge
+    Gaussian to the top rows of its rect, producing banding artifacts and
+    runaway-growth gradients (the reference has no cap; its optimizer
+    prunes world-size > 0.1*extent instead, `gs_optimizer.py:364-366`,
+    which still applies here on top).
     """
     a = cov2d_00 + 0.3
     b = cov2d_01
@@ -171,11 +184,37 @@ def _finish_cov2d(
     if max_radius is not None:
         radius = jnp.minimum(radius, max_radius)
 
+    if rect_mode == "tight":
+        # Opacity-aware EXACT support bound: the blend kernel skips any
+        # slot with alpha = op * exp(power) < 1/255, so only the superlevel
+        # set {power >= ln(1/(255*op))} can contribute — an ellipse whose
+        # AABB half-extents are t * sqrt(Sigma_axis) with
+        # t = sqrt(2 ln(255*op)), clamped to the 3-sigma bound. Pixels
+        # outside it are skipped in-kernel either way (gradients included),
+        # so shrinking the footprint to it changes nothing but the slot
+        # count — which collapses for the near-transparent Gaussians that
+        # dominate training after opacity resets (`gs_optimizer.py:184-195`).
+        t_fac = 3.0
+        if opacity is not None:
+            t_fac = jnp.minimum(
+                3.0,
+                jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opacity), 0.0)),
+            )
+        rx = jnp.ceil(t_fac * jnp.sqrt(jnp.maximum(a, 0.0)))
+        ry = jnp.ceil(t_fac * jnp.sqrt(jnp.maximum(c, 0.0)))
+        if max_radius is not None:
+            rx = jnp.minimum(rx, max_radius)
+            ry = jnp.minimum(ry, max_radius)
+        r2 = jnp.stack([rx, ry], axis=-1)
+    elif rect_mode == "disc":
+        r2 = radius[:, None]
+    else:
+        raise ValueError(f"rect_mode must be 'tight' or 'disc', got {rect_mode!r}")
+
     bx, by = _block_xy(block)
     tgx, tgy = tile_grid(W, H, block)
     tb = jnp.array([tgx, tgy], dtype=jnp.int32)
     bvec = jnp.array([bx, by], dtype=uv.dtype)
-    r2 = radius[:, None]
     tile_min = jnp.clip(jnp.floor((uv - r2) / bvec).astype(jnp.int32), 0, tb)
     tile_max = jnp.clip(
         jnp.floor((uv + r2 + (bvec - 1)) / bvec).astype(jnp.int32), 0, tb
@@ -201,6 +240,8 @@ def ewa_ortho(
     visible: jnp.ndarray,
     block: int = BLOCK,
     max_radius=None,
+    rect_mode: str = "tight",
+    opacity=None,
 ):
     """Orthographic EWA: cov2d = (J R) Sigma (J R)^T with J = diag(W/2, H/2).
 
@@ -233,7 +274,7 @@ def ewa_ortho(
     c00 = quad(t0, t0)
     c01 = quad(t0, t1)
     c11 = quad(t1, t1)
-    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius)
+    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius, rect_mode, opacity)
 
 
 def ewa_persp(
@@ -247,6 +288,8 @@ def ewa_persp(
     visible: jnp.ndarray,
     block: int = BLOCK,
     max_radius=None,
+    rect_mode: str = "tight",
+    opacity=None,
 ):
     """Perspective EWA — parity with `ewa_project.cu:16-84`.
 
@@ -279,4 +322,4 @@ def ewa_persp(
     c00 = quad(t0, t0)
     c01 = quad(t0, t1)
     c11 = quad(t1, t1)
-    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius)
+    return _finish_cov2d(c00, c01, c11, uv, W, H, visible, block, max_radius, rect_mode, opacity)

@@ -49,6 +49,10 @@ class RasterizeConfig:
     sh_degree: int = 3              # render_iter always evaluates degree 3
     K_idx: int = 0                  # per-pixel first-K id capture (0 = off)
     sort_mode: str = "packed"       # "packed" (fast) | "exact" (parity tests)
+    rect_mode: str = "tight"        # "tight" ellipse AABB | "disc" (reference
+    #                                 parity rect; see projection._finish_cov2d)
+    scan_impl: str = "matmul"       # in-kernel transmittance scan: "matmul"
+    #                                 (MXU triangular) | "roll" (VPU lane shifts)
     interpret: Optional[bool] = None
 
 
@@ -115,6 +119,7 @@ def rasterize(
         sort_mode=cfg.sort_mode,
         block=cfg.block,
         interpret=cfg.interpret,
+        scan_impl=cfg.scan_impl,
     )
 
     out: Dict[str, jnp.ndarray] = {}
@@ -189,12 +194,13 @@ def render_gaussians(
     max_r = _projection.max_radius_for_tile_cap(cfg.max_tiles_per_gaussian, cfg.block)
     if cfg.ortho:
         conic, radius, tiles, rect_min, rect_max = _projection.ewa_ortho(
-            cov3d, extr, uv, cfg.width, cfg.height, visible, cfg.block, max_r
+            cov3d, extr, uv, cfg.width, cfg.height, visible, cfg.block, max_r,
+            cfg.rect_mode, jax.lax.stop_gradient(opacity),
         )
     else:
         conic, radius, tiles, rect_min, rect_max = _projection.ewa_persp(
             position, cov3d, intr, extr, uv, cfg.width, cfg.height, visible,
-            cfg.block, max_r,
+            cfg.block, max_r, cfg.rect_mode, jax.lax.stop_gradient(opacity),
         )
 
     groups: Dict[str, Tuple[jnp.ndarray, float, bool]] = {

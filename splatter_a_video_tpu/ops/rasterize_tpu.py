@@ -99,6 +99,57 @@ def _cumsum_lanes(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _cumsum_lanes_roll(x: jnp.ndarray, exclusive: bool, interpret: bool) -> jnp.ndarray:
+    """Cumulative sum along the lane axis via log2(K) shifted adds (VPU).
+
+    Measured 3 ms SLOWER than the triangular matmul at the 480p/100k
+    shape: cross-tile lane rolls lower to multi-op shuffles in Mosaic.
+    Kept as a documented measurement point; prefer "matmul" or "bf16x2".
+    Summation order differs from both the matmul and the strictly
+    sequential order only in float rounding.
+    """
+    K = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    shift = 1
+    while shift < K:
+        if interpret:
+            rolled = jnp.roll(acc, shift, axis=1)
+        else:
+            rolled = pltpu.roll(acc, shift, axis=1)
+        acc = acc + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    if exclusive:
+        acc = acc - x
+    return acc
+
+
+def _cumsum_lanes_split(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Triangular-matmul scan with the f32 operand split into hi+lo bf16.
+
+    The MXU runs bf16 x bf16 -> f32 at full rate while f32 x f32 needs a
+    multi-pass decomposition; the 0/1 triangular matrix is exact in bf16,
+    so x @ tri == bf16(x) @ tri + bf16(x - bf16(x)) @ tri up to ~2^-18
+    relative error — two full-rate passes instead of the f32 path.
+    """
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tb = tri.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        hi, tb, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(lo, tb, dims, preferred_element_type=jnp.float32)
+
+
+def _scan_lanes(x, tri, scan_impl: str, interpret: bool, exclusive: bool):
+    """Dispatch the in-kernel lane scan implementation."""
+    if scan_impl == "roll":
+        return _cumsum_lanes_roll(x, exclusive, interpret)
+    if scan_impl == "bf16x2":
+        return _cumsum_lanes_split(x, tri)
+    return _cumsum_lanes(x, tri)
+
+
 def _chunk_alpha(data, px_x, px_y, lane_ok):
     """Shared fwd/bwd screen-space math for one [D, K] chunk."""
     uvx = data[0:1, :]
@@ -157,6 +208,8 @@ def _fwd_kernel(
     th: int,
     bg: Tuple[float, ...],
     K_idx: int,
+    scan_impl: str,
+    interpret: bool,
 ):
     PIX = tw * th
     ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
@@ -231,7 +284,8 @@ def _fwd_kernel(
         log1m = jnp.log(one_m)
         # EXCLUSIVE transmittance prefix: w = alpha * T_before needs no
         # divide; the inclusive value (for the termination rule) is one mul
-        cumT_ex = T * jnp.exp(_cumsum_lanes(log1m, tri))
+        cs = _scan_lanes(log1m, tri, scan_impl, interpret, True)
+        cumT_ex = T * jnp.exp(cs)
         cumT = cumT_ex * one_m
         applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(applied, alpha_eff * cumT_ex, 0.0)
@@ -243,7 +297,9 @@ def _fwd_kernel(
 
         if K_idx:
             ids = ibuf[slot]
-            rank = cnt + _cumsum_lanes(applied.astype(jnp.float32), _tri_excl(chunk))
+            rank = cnt + _scan_lanes(
+                applied.astype(jnp.float32), _tri_excl(chunk),
+                scan_impl, interpret, True)
             ranki = rank.astype(jnp.int32)
             for sl in range(K_idx):
                 sel = applied & (ranki == sl)
@@ -310,6 +366,8 @@ def _bwd_kernel(
     th: int,
     bg: Tuple[float, ...],
     alpha_grad_mask: Tuple[float, ...],
+    scan_impl: str,
+    interpret: bool,
 ):
     PIX = tw * th
     ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
@@ -413,7 +471,8 @@ def _bwd_kernel(
         )
         one_m = 1.0 - alpha_eff
         log1m = jnp.log(one_m)
-        T_excl = T * jnp.exp(_cumsum_lanes(log1m, tri))
+        cs = _scan_lanes(log1m, tri, scan_impl, interpret, True)
+        T_excl = T * jnp.exp(cs)
         cumT = T_excl * one_m
         applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(applied, alpha_eff * T_excl, 0.0)
@@ -429,8 +488,8 @@ def _bwd_kernel(
 
         u_all = G_all * w
         u_op = G_op * w
-        pref_all = pre_all + _cumsum_lanes(u_all, tri_in)
-        pref_op = pre_op + _cumsum_lanes(u_op, tri_in)
+        pref_all = pre_all + _scan_lanes(u_all, tri_in, scan_impl, interpret, False)
+        pref_op = pre_op + _scan_lanes(u_op, tri_in, scan_impl, interpret, False)
         suf_all = tot_all - pref_all
         suf_op = tot_op - pref_op
 
@@ -496,7 +555,8 @@ def _bwd_kernel(
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx):
+def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx,
+                      scan_impl, interpret):
     if K_idx:
         (packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref, gsidx_ref,
          buf, sem, ibuf, isem, st, acc) = rest
@@ -509,6 +569,7 @@ def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx):
         edges_ref, packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref,
         gsidx_ref, buf, sem, ibuf, isem, st, acc,
         C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg, K_idx=K_idx,
+        scan_impl=scan_impl, interpret=interpret,
     )
 
 
@@ -526,6 +587,7 @@ def _build_splat(
     sort_mode: str,
     tile_wh: Tuple[int, int],
     interpret: bool,
+    scan_impl: str = "matmul",
 ):
     """Construct the custom-vjp splat over (uv, conic, opacity, features,
     abs_sink) for one static configuration. Binning runs inside the fwd;
@@ -589,7 +651,7 @@ def _build_splat(
 
         kernel = functools.partial(
             _fwd_kernel_entry, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th,
-            bg=bg, K_idx=K_idx,
+            bg=bg, K_idx=K_idx, scan_impl=scan_impl, interpret=interpret,
         )
         outs = pl.pallas_call(
             kernel,
@@ -622,7 +684,8 @@ def _build_splat(
         finalT_t = img_to_tiles(finalT[..., None])
         kernel = functools.partial(
             _bwd_kernel, C=C, D=D, Dg=Dg, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
-            alpha_grad_mask=alpha_grad_mask,
+            alpha_grad_mask=alpha_grad_mask, scan_impl=scan_impl,
+            interpret=interpret,
         )
         dgrad, gidg = pl.pallas_call(
             kernel,
@@ -753,6 +816,7 @@ def splat_scene(
     sort_mode: str = "packed",
     block: Tuple[int, int] = DEFAULT_TILE,
     interpret: Optional[bool] = None,
+    scan_impl: str = "matmul",
 ):
     """Differentiable bin+sort+blend of pre-projected Gaussians.
 
@@ -776,7 +840,7 @@ def splat_scene(
         C, W, H, tuple(float(x) for x in bg),
         tuple(float(x) for x in alpha_grad_mask), K_idx, chunk,
         max_intersections, max_tiles_per_gaussian, sort_mode,
-        tuple(block), interpret,
+        tuple(block), interpret, scan_impl,
     )
     return fn(uv, conic, opacity, features, abs_sink, depth, tiles,
               rect_min, rect_max)

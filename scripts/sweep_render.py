@@ -58,10 +58,9 @@ def run(block, chunk, max_int, reps=30, rect_mode="tight", scan="matmul"):
 
 
 combos = [
-    ((32, 16), 256, 384 * 1024, "tight", "matmul"),
-    ((16, 16), 256, 1 << 19, "tight", "matmul"),
-    ((32, 16), 512, 384 * 1024, "tight", "matmul"),
-    ((32, 16), 256, 384 * 1024, "tight", "bf16x2"),
+    ((32, 16), 128, 384 * 1024, "tight", "matmul"),
+    ((32, 16), 128, 2624 * 128, "tight", "matmul"),
+    ((16, 16), 128, 1 << 19, "tight", "matmul"),
 ]
 for block, chunk, mi, rm, sc in combos:
     try:

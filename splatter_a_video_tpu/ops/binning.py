@@ -13,12 +13,18 @@ TPU-native re-design of the reference sort stage (`sort_gaussian.py` +
       indices/s while `lax.sort` permutes 16 carried operands at ~130 M
       slots/ms-equivalent. So the pipeline uses only scans and ONE sort:
 
-      1. ragged expansion by marks: scatter one marker per gaussian at its
-         (monotone) start offset, recover the owner index by `cumsum` and
-         the start position by `cummax`;
-      2. broadcast per-gaussian channels to their slots with a segmented
-         fill-forward implemented as a log-shift loop (bandwidth-bound;
-         `lax.associative_scan` on tuples compiles pathologically here);
+      1. ragged expansion by marks: each non-empty gaussian scatters its
+         start-slot record at its (monotone) start offset — in packed mode
+         the owner id, depth-key bits, and rect fields are squeezed into
+         TWO int32 scatter words (scatters cost ~0.5 ms each at 384k slots
+         in-graph, so fewer is the lever; see the A/B layout in
+         `bin_sort_pack`);
+      2. broadcast the records to their slots with a segmented fill-forward
+         (log-shift loop bounded by `max_tiles_per_gaussian` — segments are
+         one gaussian's slots, so 7 passes, not log2(M);
+         `lax.associative_scan` on tuples compiles pathologically here) and
+         recover the in-rect position from a bounded cummax of mark
+         positions;
       3. ONE variadic `lax.sort` on the packed `tile<<20 | depth_bits>>11`
          int32 key *carrying every per-intersection channel* into
          tile-major depth order (positive-float bit patterns are
@@ -158,68 +164,119 @@ def bin_sort_pack(
     offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
     total = offs[-1] + tiles[-1]
 
-    # --- 1 + 2. ragged expansion: three 1-channel start scatters + scans ----
-    # Each *non-empty* gaussian scatters (owner id, depth bits, packed rect)
-    # to its start slot; empty gaussians go to the dropped sentinel, so the
-    # owner of any slot is the cummax of scattered ids (largest g with
-    # offs[g] <= s). 1-channel scatters are the fast shape here: XLA's TPU
-    # emitter vectorizes scalar updates (~0.6 ms each) while a multi-channel
-    # row scatter serializes at ~25M rows/s (5.2 ms).
+    # --- 1 + 2. ragged expansion: 1-channel start scatters + bounded scans --
+    # Each *non-empty* gaussian scatters its start-slot record(s); empty
+    # gaussians go to the dropped sentinel, so the owner of any slot is the
+    # fill/cummax of scattered records (largest g with offs[g] <= s).
+    # 1-channel scatters are the fast shape on TPU, but each still costs
+    # ~0.5 ms at M = 384k in-graph, so the packed mode squeezes everything
+    # the key needs into TWO scatter words (A, B) instead of three:
+    #   A = db[30:23] << gbits | gaussian_id        (sentinel -1 = no mark;
+    #       positive-depth IEEE bits have bit31 = 0, so marks are >= 0)
+    #   B = rect_packed << 12 | db[22:11]
+    # db[30:11] is exactly the 20-bit depth key the packed sort uses, so
+    # this loses NO precision vs. the three-scatter layout. Falls back to
+    # the generic layout when the fields don't fit ("exact" mode, huge
+    # images, or > 2^gbits_max gaussians).
     s = jnp.arange(M, dtype=jnp.int32)
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
-    # fill channels: IEEE depth bits (positive depths sort correctly as int)
-    # and the rect packed into one s32 (tile coords are < 2^11 up to
-    # 32k-pixel images; rect width <= max_tiles_per_gaussian < 2^10)
     depth_bits_g = jax.lax.bitcast_convert_type(
         depth.astype(jnp.float32), jnp.int32
     )
-    rect_packed = (
-        rect_min[:, 0].astype(jnp.int32)
-        | (rect_min[:, 1].astype(jnp.int32) << 11)
-        | (rect_w << 22)
-    )
     row_idx = jnp.where(tiles > 0, offs, M)
-    g_scat = (
-        jnp.full((M,), -1, jnp.int32)
-        .at[row_idx]
-        .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-    )
-    has_mark = g_scat >= 0
     # scan/fill propagation distance is bounded by the clamped footprint
     cap = max(int(max_tiles_per_gaussian), 2)
-    g = jnp.clip(_local_cummax(g_scat, cap), 0, N - 1)  # owner gaussian index
-    start_pos = _local_cummax(jnp.where(has_mark, s, -1), cap)
-    j = s - start_pos
     valid = s < total
 
-    # only what the sort key needs rides the fill; the full channel block is
-    # fetched AFTER the sort by one gather — measured cheaper than carrying
-    # 16 channels through the sort network
-    start_vals = jnp.stack(
-        [
-            jnp.zeros((M,), jnp.int32).at[row_idx].set(v, mode="drop")
-            for v in (depth_bits_g, rect_packed)
-        ]
+    xb = max((tgx - 1).bit_length(), 1)   # bits for rect x / width fields
+    yb = max((tgy - 1).bit_length(), 1)
+    wb = max(min(tgx, max_tiles_per_gaussian).bit_length(), 1)
+    gbits = max((N - 1).bit_length(), 1)
+    two_scatter = (
+        sort_mode == "packed"
+        and T < (1 << 11)
+        and gbits + 8 <= 31                 # A: db exp byte + gid, sign clear
+        and xb + yb + wb + 12 <= 31         # B: rect fields + db[22:11]
     )
-    slot_vals = _fill_forward(has_mark, start_vals, cap)  # [2, M] int32
 
-    rect_s = slot_vals[1]
-    rmx = rect_s & 0x7FF
-    rmy = (rect_s >> 11) & 0x7FF
-    rw = jnp.maximum(rect_s >> 22, 1)
+    if two_scatter:
+        rect_packed = (
+            rect_min[:, 0].astype(jnp.int32)
+            | (rect_min[:, 1].astype(jnp.int32) << xb)
+            | (rect_w << (xb + yb))
+        )
+        a_g = (
+            jax.lax.shift_right_logical(depth_bits_g, 23) << gbits
+        ) | jnp.arange(N, dtype=jnp.int32)
+        b_g = (rect_packed << 12) | (
+            jax.lax.shift_right_logical(depth_bits_g, 11) & 0xFFF
+        )
+        start_vals = jnp.stack(
+            [
+                jnp.full((M,), -1, jnp.int32).at[row_idx].set(a_g, mode="drop"),
+                jnp.zeros((M,), jnp.int32).at[row_idx].set(b_g, mode="drop"),
+            ]
+        )
+        has_mark = start_vals[0] >= 0
+        slot_vals = _fill_forward(has_mark, start_vals, cap)  # [2, M] int32
+        start_pos = _local_cummax(jnp.where(has_mark, s, -1), cap)
+        j = s - start_pos
+        g = jnp.clip(slot_vals[0] & ((1 << gbits) - 1), 0, N - 1)
+        db20 = ((jax.lax.shift_right_logical(slot_vals[0], gbits) & 0xFF) << 12) | (
+            slot_vals[1] & 0xFFF
+        )
+        rect_s = jax.lax.shift_right_logical(slot_vals[1], 12)
+    else:
+        rect_packed = (
+            rect_min[:, 0].astype(jnp.int32)
+            | (rect_min[:, 1].astype(jnp.int32) << 11)
+            | (rect_w << 22)
+        )
+        g_scat = (
+            jnp.full((M,), -1, jnp.int32)
+            .at[row_idx]
+            .set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+        )
+        has_mark = g_scat >= 0
+        g = jnp.clip(_local_cummax(g_scat, cap), 0, N - 1)
+        start_pos = _local_cummax(jnp.where(has_mark, s, -1), cap)
+        j = s - start_pos
+        start_vals = jnp.stack(
+            [
+                jnp.zeros((M,), jnp.int32).at[row_idx].set(v, mode="drop")
+                for v in (depth_bits_g, rect_packed)
+            ]
+        )
+        slot_vals = _fill_forward(has_mark, start_vals, cap)  # [2, M] int32
+        rect_s = slot_vals[1]
+
+    if two_scatter:
+        rmx = rect_s & ((1 << xb) - 1)
+        rmy = jax.lax.shift_right_logical(rect_s, xb) & ((1 << yb) - 1)
+        rw = jnp.maximum(jax.lax.shift_right_logical(rect_s, xb + yb), 1)
+    else:
+        rmx = rect_s & 0x7FF
+        rmy = (rect_s >> 11) & 0x7FF
+        rw = jnp.maximum(rect_s >> 22, 1)
     tx = rmx + j % rw
     ty = rmy + j // rw
     tile_id = jnp.where(valid, ty * tgx + tx, T)
 
     # --- 3. (key, gid) sort + one post-sort channel gather -------------------
     inf_bits = np.float32(np.inf).view(np.int32).item()
-    depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
     gid_slot = jnp.where(valid, g, -1)
-    if sort_mode == "packed" and T < (1 << 11):
+    if two_scatter:
+        db20 = jnp.where(valid, db20, inf_bits >> 11)
+        key = (tile_id << 20) | db20
+        sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
+        sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
+    elif sort_mode == "packed" and T < (1 << 11):
+        depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
         sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     else:
+        depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
         sorted_tile, _, sorted_gid = jax.lax.sort(
             (tile_id, depth_bits, gid_slot), num_keys=2, is_stable=True
         )

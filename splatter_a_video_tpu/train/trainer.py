@@ -76,6 +76,10 @@ class TrainerConfig:
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
+    block_x: int = 16                  # rasterizer tile (32, 16) measured
+    block_y: int = 16                  # fastest for pure rendering; training
+    #                                    keeps 16x16 (less VPU per chunk in
+    #                                    the wider backward) unless overridden
     white_bg: bool = True
     # schedule
     max_steps: int = 20000
@@ -88,6 +92,8 @@ class TrainerConfig:
             height=self.height,
             max_intersections=self.max_intersections,
             max_tiles_per_gaussian=self.max_tiles_per_gaussian,
+            block_x=self.block_x,
+            block_y=self.block_y,
             K_idx=K_idx,
         )
 

@@ -174,3 +174,126 @@ class TestProjection:
         )
         span = np.asarray(rmax - rmin)
         np.testing.assert_array_equal(np.asarray(tiles), span[:, 0] * span[:, 1])
+
+
+class TestTightRects:
+    """rect_mode='tight' (PARITY.md deviation #11): the opacity-aware
+    ellipse AABB must cover every pixel the blend kernel would not skip."""
+
+    W, H = 128, 96
+
+    def _ewa(self, cov6, uv, op, mode):
+        import jax.numpy as jnp
+        from splatter_a_video_tpu.ops import projection
+
+        extr = jnp.eye(3, 4)
+        return projection.ewa_ortho(
+            cov6, extr, uv, self.W, self.H, jnp.ones(uv.shape[0], bool),
+            16, None, mode, op if mode == "tight" else None,
+        )
+
+    def _random_scene(self, n=64, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from splatter_a_video_tpu.ops.quaternion import build_cov3d, quat_normalize
+
+        k = jax.random.split(jax.random.PRNGKey(seed), 5)
+        uv = jax.random.uniform(
+            k[0], (n, 2), minval=10.0, maxval=self.W - 10.0
+        ) * jnp.array([1.0, (self.H - 20) / (self.W - 20)])
+        scale = jnp.exp(jax.random.uniform(k[1], (n, 3), minval=-4.0, maxval=-2.5))
+        quat = quat_normalize(jax.random.normal(k[2], (n, 4)))
+        op = jax.random.uniform(k[3], (n,), minval=0.002, maxval=0.99)
+        cov6 = build_cov3d(scale * 60.0, quat, jnp.ones(n, bool))
+        return cov6, uv, op
+
+    def test_tight_subset_of_disc(self):
+        import numpy as np
+
+        cov6, uv, op = self._random_scene()
+        _, _, _, tmin, tmax = self._ewa(cov6, uv, op, "tight")
+        _, _, _, dmin, dmax = self._ewa(cov6, uv, op, "disc")
+        assert (np.asarray(tmin) >= np.asarray(dmin)).all()
+        assert (np.asarray(tmax) <= np.asarray(dmax)).all()
+
+    def test_tight_covers_kernel_support(self):
+        """Every pixel with alpha >= 1/255 lies inside the tight rect."""
+        import numpy as np
+
+        cov6, uv, op = self._random_scene(seed=3)
+        conic, _, tiles, tmin, tmax = self._ewa(cov6, uv, op, "tight")
+        conic = np.asarray(conic)
+        uvn = np.asarray(uv)
+        opn = np.asarray(op)
+        ys, xs = np.mgrid[0 : self.H, 0 : self.W]
+        for i in range(uvn.shape[0]):
+            vx = xs - uvn[i, 0]
+            vy = ys - uvn[i, 1]
+            a, b, c = conic[i]
+            power = -0.5 * (a * vx * vx + c * vy * vy) - b * vx * vy
+            alpha = opn[i] * np.exp(np.minimum(power, 0.0))
+            contributing = (alpha >= 1.0 / 255.0) & (power <= 0.0)
+            if not contributing.any():
+                continue
+            py, px = np.nonzero(contributing)
+            tx0, ty0 = np.asarray(tmin)[i]
+            tx1, ty1 = np.asarray(tmax)[i]
+            assert px.min() // 16 >= tx0 and px.max() // 16 < tx1
+            assert py.min() // 16 >= ty0 and py.max() // 16 < ty1
+
+    def test_transparent_gaussian_zero_tiles_effect(self):
+        """op < 1/255 collapses the footprint; the render ignores it."""
+        import jax.numpy as jnp
+        import numpy as np
+        from splatter_a_video_tpu.ops import rasterize
+        from splatter_a_video_tpu.ops.quaternion import quat_normalize
+
+        cfg = rasterize.RasterizeConfig(
+            width=self.W, height=self.H, max_intersections=1 << 12
+        )
+        pos = jnp.array([[0.0, 0.0, 1.0], [0.1, 0.1, 1.2]])
+        scale = jnp.full((2, 3), 0.05)
+        quat = quat_normalize(jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1)))
+        shs = jnp.zeros((2, 16, 3)).at[:, 0, :].set(1.0)
+        extr = jnp.eye(3, 4)
+        op_vis = jnp.array([0.9, 1.0 / 400.0])
+        out = rasterize.render_gaussians(pos, scale, quat, op_vis, shs, extr, cfg)
+        out_ref = rasterize.render_gaussians(
+            pos, scale, quat, jnp.array([0.9, 0.0]), shs, extr, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.features["rgb"]), np.asarray(out_ref.features["rgb"]),
+            atol=1e-6,
+        )
+
+    def test_render_tight_close_to_disc(self):
+        """Dropped contributions are below alpha=0.011 -> sub-LSB images."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from splatter_a_video_tpu.ops import rasterize
+        from splatter_a_video_tpu.ops.quaternion import quat_normalize
+
+        k = jax.random.split(jax.random.PRNGKey(5), 5)
+        n = 200
+        pos = jnp.concatenate(
+            [jax.random.uniform(k[0], (n, 2), minval=-0.7, maxval=0.7),
+             jax.random.uniform(k[1], (n, 1), minval=0.6, maxval=1.9)], axis=1,
+        )
+        scale = jnp.exp(jax.random.uniform(k[2], (n, 3), minval=-4.5, maxval=-3.0))
+        quat = quat_normalize(jax.random.normal(k[3], (n, 4)))
+        op = jax.random.uniform(k[4], (n,), minval=0.05, maxval=0.95)
+        shs = jnp.zeros((n, 16, 3)).at[:, 0, :].set(0.8)
+        extr = jnp.eye(3, 4)
+        cfg_t = rasterize.RasterizeConfig(
+            width=self.W, height=self.H, max_intersections=1 << 14,
+            rect_mode="tight",
+        )
+        cfg_d = dataclasses.replace(cfg_t, rect_mode="disc")
+        rgb_t = rasterize.render_gaussians(pos, scale, quat, op, shs, extr, cfg_t)
+        rgb_d = rasterize.render_gaussians(pos, scale, quat, op, shs, extr, cfg_d)
+        diff = np.abs(
+            np.asarray(rgb_t.features["rgb"]) - np.asarray(rgb_d.features["rgb"])
+        )
+        assert diff.max() < 0.05, diff.max()

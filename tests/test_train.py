@@ -389,3 +389,48 @@ class TestOptim:
         up_rot = float(jnp.abs(updates["rotation"]).max())
         assert abs(up_op - 0.05) < 0.06 * 0.2
         assert abs(up_rot - 0.001) < 0.001 * 0.2
+
+
+class TestGanLoss:
+    """gan_loss vs torch reference semantics (`criterion.py:154-236`)."""
+
+    def test_all_modes_match_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        x = np.random.RandomState(0).randn(4, 7).astype(np.float32)
+        tx = torch.from_numpy(x)
+        for mode in ("original", "ls", "hinge", "w"):
+            for real in (True, False):
+                for disc in (True, False):
+                    if mode == "hinge" and not disc and not real:
+                        continue
+                    ours = float(losses.gan_loss(jnp.asarray(x), real, mode, disc))
+                    t = torch.full_like(tx, 1.0 if real else 0.0)
+                    if mode == "original":
+                        ref = F.binary_cross_entropy_with_logits(tx, t)
+                    elif mode == "ls":
+                        ref = F.mse_loss(tx, t)
+                    elif mode == "hinge":
+                        if disc:
+                            z = torch.zeros_like(tx)
+                            ref = -(torch.min((tx - 1) if real else (-tx - 1), z)).mean()
+                        else:
+                            ref = -tx.mean()
+                    else:
+                        ref = -tx.mean() if real else tx.mean()
+                    assert abs(ours - float(ref)) < 1e-6, (mode, real, disc)
+
+    def test_multiscale_list_averaging(self):
+        """Lists (and list-of-list discriminator pyramids, last = logits)
+        average per-scale like the reference `__call__` (`:222-236`)."""
+        x = jnp.asarray(np.random.RandomState(1).randn(3, 5).astype(np.float32))
+        single = losses.gan_loss(x, True, "ls")
+        multi = losses.gan_loss([x, [x * 9.0, x]], True, "ls")
+        np.testing.assert_allclose(float(multi), float(single), rtol=1e-6)
+
+    def test_generator_hinge_requires_real(self):
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError):
+            losses.gan_loss(jnp.zeros((2, 2)), False, "hinge", for_discriminator=False)

@@ -302,18 +302,19 @@ def bin_sort_pack(
     if two_scatter:
         db20 = jnp.where(valid, db20, inf_bits >> 11)
         key = (tile_id << 20) | db20
-        # is_stable=False: ties are same-tile sub-20-bit-equal depths whose
-        # order is already arbitrary (deviation #1) — stability would make
-        # XLA carry an extra iota tiebreak operand through the sort
+        # gid as the SECOND KEY (not payload): sub-20-bit depth ties break
+        # by gaussian index — the reference's stable radix-sort behavior —
+        # deterministically and identically under jit and eager, without
+        # the extra iota operand a stable 1-key sort would cost
         sorted_key, sorted_gid = jax.lax.sort(
-            (key, gid_slot), num_keys=1, is_stable=False
+            (key, gid_slot), num_keys=2, is_stable=False
         )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     elif sort_mode == "packed" and T < (1 << 11):
         depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
         sorted_key, sorted_gid = jax.lax.sort(
-            (key, gid_slot), num_keys=1, is_stable=False
+            (key, gid_slot), num_keys=2, is_stable=False
         )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     else:
@@ -405,9 +406,12 @@ def _bin_sort_pack_presorted(
         | (rect_min[:, 1].astype(jnp.int32) << xb)
         | (rect_w << (xb + yb))
     )
-    _, tiles_s, rect_s_g, perm = jax.lax.sort(
-        (dk, tiles, rectword, jnp.arange(N, dtype=jnp.int32)),
-        num_keys=1, is_stable=False,
+    # the original index is the SECOND KEY: equal-depth gaussians keep the
+    # caller's order (the reference's stable radix-sort tie behavior) and
+    # jit/eager compile to the same image even for all-equal depths
+    _, perm, tiles_s, rect_s_g = jax.lax.sort(
+        (dk, jnp.arange(N, dtype=jnp.int32), tiles, rectword),
+        num_keys=2, is_stable=False,
     )
     # reorder channels once at N scale (3-4x smaller than an M-scale gather)
     channels_s = jnp.take(channels, perm, axis=0)

@@ -381,3 +381,65 @@ class TestRadiusClamp:
         bot = T[cy + 1 :, cx].mean()
         assert abs(top - bot) < 0.2, (top, bot)
         assert abs(left - right) < 0.2, (left, right)
+
+
+class TestEqualDepthDeterminism:
+    """All-equal depths (a 2D-fitting scene, examples/gs_2d.py) must blend
+    in gaussian-index order — the reference's stable radix-sort tie
+    behavior — and identically under eager and jit (regression: an
+    unstable 1-key sort once ordered ties differently per compilation)."""
+
+    def _scene(self, n=300):
+        key = jax.random.PRNGKey(7)
+        ks = jax.random.split(key, 5)
+        xyz = jnp.concatenate(
+            [
+                jax.random.uniform(ks[0], (n, 2), minval=-0.8, maxval=0.8),
+                jnp.ones((n, 1)),  # IDENTICAL depth for every gaussian
+            ],
+            axis=1,
+        )
+        scale = jnp.exp(jax.random.uniform(ks[1], (n, 3), minval=-3.5, maxval=-2.5))
+        quat = quaternion.quat_normalize(jax.random.normal(ks[2], (n, 4)))
+        op = jax.random.uniform(ks[3], (n,), minval=0.3, maxval=0.95)
+        shs = jax.random.normal(ks[4], (n, 16, 3)) * 0.4
+        return xyz, scale, quat, op, shs
+
+    def test_eager_matches_jit_and_oracle(self):
+        xyz, scale, quat, op, shs = self._scene()
+        extr = jnp.eye(3, 4)
+        cfg = rasterize.RasterizeConfig(
+            width=W, height=H, max_intersections=1 << 14
+        )
+
+        def render(xyz, scale, quat, op, shs):
+            return rasterize.render_gaussians(
+                xyz, scale, quat, op, shs, extr, cfg
+            ).features["rgb"]
+
+        eager = np.asarray(render(xyz, scale, quat, op, shs))
+        jitted = np.asarray(jax.jit(render)(xyz, scale, quat, op, shs))
+        # eager and jit are different XLA programs: fusion may reorder
+        # float ops by ~1 ulp, so tolerance is rounding-level, not exact
+        np.testing.assert_allclose(eager, jitted, atol=1e-5)
+
+        # index order == the sequential oracle's order (it blends slots in
+        # gaussian order for equal depths)
+        uv, depth = projection.project_ortho(xyz, extr, W, H)
+        visible = depth != 0
+        cov6 = quaternion.build_cov3d(scale, quat, visible)
+        conic, radius, tiles, rmin, rmax = projection.ewa_ortho(
+            cov6, extr, uv, W, H, visible, 16, None, "tight",
+            jax.lax.stop_gradient(op),
+        )
+        from splatter_a_video_tpu.ops import sh as _sh
+
+        dirs = jnp.concatenate(
+            [jnp.zeros((xyz.shape[0], 2)), jnp.ones((xyz.shape[0], 1))], axis=1
+        )
+        rgb = _sh.eval_sh(3, shs, dirs, visible)
+        ref = rasterize_ref.splat_reference(
+            uv, conic, op, rgb, depth, radius, rmin, rmax, W, H,
+            bg=jnp.ones((3,)),
+        )
+        np.testing.assert_allclose(eager, np.asarray(ref.image), atol=2e-5)

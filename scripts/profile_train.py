@@ -35,7 +35,8 @@ scfg = gaussians.SceneConfig(
 scene = gaussians.create_scene(scfg, pos, rng.rand(N0, 3).astype(np.float32), init_opacity=0.5)
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T, num_track_samples=4096,
-    max_intersections=1 << 19,
+    max_intersections=int(os.environ.get("BT_MAXINT", 1 << 19)),
+    block_x=int(os.environ.get("BT_BX", 16)), block_y=int(os.environ.get("BT_BY", 16)),
     optim=optim.OptimConfig(max_steps=20000),
 )
 cam = camera.canonical_camera(W, H)

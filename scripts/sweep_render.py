@@ -58,8 +58,13 @@ def run(block, chunk, max_int, reps=30, rect_mode="tight", scan="matmul"):
 
 
 combos = [
-    ((32, 16), 128, 384 * 1024, "tight", "matmul"),
-    ((32, 16), 128, 2624 * 128, "tight", "matmul"),
+    # post-presort sweep: single-scatter binning engages where
+    # xb+yb+wb+gbits <= 32 (all of these at N=100k except (16,16))
+    ((32, 16), 128, 2720 * 128, "tight", "matmul"),
+    ((32, 8), 128, 3400 * 128, "tight", "matmul"),
+    ((64, 8), 128, 3600 * 128, "tight", "matmul"),
+    ((64, 16), 128, 2600 * 128, "tight", "matmul"),
+    ((32, 32), 128, 2400 * 128, "tight", "matmul"),
     ((16, 16), 128, 1 << 19, "tight", "matmul"),
 ]
 for block, chunk, mi, rm, sc in combos:

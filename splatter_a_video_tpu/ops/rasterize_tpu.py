@@ -22,13 +22,13 @@ per pixel, atomicAdd gradient scatter — maps badly to TPU. This design:
     because cumT is non-increasing;
   * backward is a *forward* re-sweep (no reverse pass): the suffix term of
     dL/dalpha is `total - prefix` with `total = sum_c g*(out - T_fin*bg)`
-    known from the saved output. Per-slot gradients are written to a
-    chunk-aligned grad buffer (tile t's chunk i at column
-    (chunk_base[t]+i)*128 — disjoint and aligned even though the ranges
-    are not) together with the slot's gaussian id; the per-Gaussian
-    reduction is a variadic sort by id + running-sum + boundary
-    differences — fully deterministic, no atomics, no scatter-adds
-    (XLA TPU scatters serialize; see memory: tpu-perf-model).
+    known from the saved output. Per-slot gradients land at their TRUE
+    slot columns of one [Dg, M+chunk] buffer: the sequential TPU grid
+    lets a pending-chunk scratch accumulator merge the boundary chunks
+    adjacent tiles share (disjoint lane sets) so every chunk is flushed
+    exactly once; the per-Gaussian reduction is then a single ordered
+    row scatter-add keyed by `Binning.gid` — fully deterministic, no
+    atomics (the reference's atomicAdd backward is not).
 
 Gradient conventions match `alpha_blending_enhanced.cu:136-273`: the 0.99
 alpha clamp is ignored in the backward (d alpha/d opacity = exp(power)),
@@ -352,23 +352,25 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     edges_ref,
-    cbase_ref,
     packed_hbm,
-    ids_hbm,
     g_ref,
     outimg_ref,
     finalT_ref,
-    dgrad_hbm,          # [Dg, Mg] per-chunk-slot gradients
-    gidg_hbm,           # [1, Mg] gaussian id per grad column
+    dgrad_hbm,          # [Dg, M + chunk] per-SLOT gradients (true positions)
     buf,
     sem,
-    ibuf,
-    isem,
     obuf,
     osem,
-    oibuf,
-    oisem,
     st,
+    pend,               # SMEM [4]: pending chunk idx, slot, in-flight flags.
+    #                     Grid steps run SEQUENTIALLY on the TPU core and
+    #                     scratch persists across them, so a single pending
+    #                     [Dg, chunk] accumulator merges the boundary chunks
+    #                     that adjacent tiles share (their lane sets are
+    #                     disjoint) and each chunk is flushed to its TRUE
+    #                     column exactly once — no per-tile chunk-aligned
+    #                     padding, no separate per-column gid output (the
+    #                     slot gid is just Binning.gid).
     *,
     C: int,
     D: int,
@@ -390,10 +392,16 @@ def _bwd_kernel(
     astart = (start // chunk) * chunk
     n = pl.cdiv(end - astart, chunk)
     n = jnp.where(end > start, n, 0)
-    cb = cbase_ref[t]
     tri = _tri_excl(chunk)       # exclusive: per-lane transmittance prefix
     tri_in = _tri_incl(chunk)    # inclusive: dL/dalpha suffix accumulators
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    @pl.when(t == 0)
+    def _():
+        pend[0] = -1             # no pending chunk yet
+        pend[1] = 0              # current accumulator slot
+        pend[2] = 0              # slot 0 flush in flight
+        pend[3] = 0              # slot 1 flush in flight
 
     g = g_ref[:].reshape(PIX, C)
     gm = jnp.concatenate(
@@ -427,49 +435,57 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
-    def idma_in(slot, ci):
-        off = pl.multiple_of(astart + ci * chunk, chunk)
-        return pltpu.make_async_copy(
-            ids_hbm.at[:, pl.ds(off, chunk)],
-            ibuf.at[slot],
-            isem.at[slot],
-        )
-
-    def dma_out(slot, ci):
-        off = pl.multiple_of((cb + ci) * chunk, chunk)
+    def flush(slot, col):
+        # col is only an address: waits reconstruct the descriptor with
+        # col 0 — Mosaic waits on (semaphore, byte count), not the address
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dgrad_hbm.at[:, pl.ds(off, chunk)],
+            dgrad_hbm.at[:, pl.ds(pl.multiple_of(col * chunk, chunk), chunk)],
             osem.at[slot],
         )
 
-    def idma_out(slot, ci):
-        off = pl.multiple_of((cb + ci) * chunk, chunk)
-        return pltpu.make_async_copy(
-            oibuf.at[slot],
-            gidg_hbm.at[:, pl.ds(off, chunk)],
-            oisem.at[slot],
-        )
+    def emit_grad(grad, gc):
+        """Accumulate one [Dg, chunk] lane-masked grad block for global
+        chunk column gc. Tiles walk non-decreasing gc; equal gc across
+        (possibly several tiny) tiles touches disjoint lanes -> add."""
+        pi = pend[0]
+
+        @pl.when(gc == pi)
+        def _():
+            cur = pend[1]
+            obuf[cur] = obuf[cur] + grad
+
+        @pl.when(gc != pi)
+        def _():
+            cur = pend[1]
+
+            @pl.when(pi >= 0)
+            def _():
+                flush(cur, pi).start()
+                pend[2 + cur] = 1
+
+            new = 1 - cur
+
+            @pl.when(pend[2 + new] == 1)
+            def _():
+                flush(new, 0).wait()
+                pend[2 + new] = 0
+
+            obuf[new] = grad
+            pend[0] = gc
+            pend[1] = new
 
     @pl.when(n > 0)
     def _():
         dma_in(0, 0).start()
-        idma_in(0, 0).start()
 
     def body(i, carry):
         slot = jax.lax.rem(i, 2)
         dma_in(slot, i).wait()
-        idma_in(slot, i).wait()
 
         @pl.when(i + 1 < n)
         def _():
             dma_in(jax.lax.rem(i + 1, 2), i + 1).start()
-            idma_in(jax.lax.rem(i + 1, 2), i + 1).start()
-
-        @pl.when(i >= 2)
-        def _():
-            dma_out(slot, i - 2).wait()
-            idma_out(slot, i - 2).wait()
 
         T = st[:, 0:1]
         done = st[:, 1:2] > 0.0
@@ -535,12 +551,7 @@ def _bwd_kernel(
             grad = jnp.concatenate(
                 [grad, jnp.zeros((Dg - (8 + C), chunk), jnp.float32)], axis=0
             )
-        obuf[slot] = grad
-        # gid per grad column; out-of-range lanes carry -1 so the reduction
-        # drops them (their grads are zero anyway via lane_ok masking)
-        oibuf[slot] = jnp.where(lane_ok, ibuf[slot], -1)
-        dma_out(slot, i).start()
-        idma_out(slot, i).start()
+        emit_grad(grad, astart // chunk + i)
 
         T_new = jnp.min(jnp.where(applied, cumT, T), axis=1, keepdims=True)
         term = jnp.any((alpha_eff > 0.0) & (cumT < T_EPS), axis=1, keepdims=True)
@@ -552,15 +563,24 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, n, body, 0)
 
-    @pl.when(n >= 2)
-    def _():
-        dma_out(jax.lax.rem(n - 2, 2), n - 2).wait()
-        idma_out(jax.lax.rem(n - 2, 2), n - 2).wait()
+    last = (pl.program_id(0) == pl.num_programs(0) - 1) & (
+        pl.program_id(1) == pl.num_programs(1) - 1
+    )
 
-    @pl.when(n >= 1)
+    @pl.when(last)
     def _():
-        dma_out(jax.lax.rem(n - 1, 2), n - 1).wait()
-        idma_out(jax.lax.rem(n - 1, 2), n - 1).wait()
+        pi = pend[0]
+
+        @pl.when(pi >= 0)
+        def _():
+            flush(pend[1], pi).start()
+            pend[2 + pend[1]] = 1
+
+        for s in (0, 1):
+
+            @pl.when(pend[2 + s] == 1)
+            def _():
+                flush(s, 0).wait()
 
 
 # --------------------------------------------------------------------------
@@ -614,7 +634,6 @@ def _build_splat(
     tgy = -(-H // th)
     T_tiles = tgy * tgx
     grid = (tgy, tgx)
-    Mg = _binning.grad_buffer_size(max_intersections, T_tiles, chunk)
 
     def tiles_to_img(x):
         c = x.shape[-1]
@@ -704,13 +723,12 @@ def _build_splat(
             alpha_grad_mask=alpha_grad_mask, scan_impl=scan_impl,
             interpret=interpret,
         )
-        dgrad, gidg = pl.pallas_call(
+        dgrad = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
                     tile_block(C),
                     tile_block(C),
@@ -718,49 +736,41 @@ def _build_splat(
                 ],
                 out_specs=[
                     pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((2, D, chunk), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((2, 1, chunk), jnp.int32),
-                    pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((2, Dg, chunk), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
-                    pltpu.VMEM((2, 1, chunk), jnp.int32),
-                    pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((PIX, 4), jnp.float32),
+                    pltpu.SMEM((4,), jnp.int32),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((Dg, Mg), jnp.float32),
-                jax.ShapeDtypeStruct((1, Mg), jnp.int32),
+                jax.ShapeDtypeStruct((Dg, max_intersections + chunk), jnp.float32),
             ],
             interpret=interpret,
-        )(b.edges, b.chunk_base, b.packed, b.gid.reshape(1, -1), g, out_t, finalT_t)
-        return dgrad, gidg[0]
+        )(b.edges, b.packed, g, out_t, finalT_t)
+        return dgrad[0]
 
-    def reduce_to_gaussians(dgrad, gidg, N, num_chunks, perm=None):
+    def reduce_to_gaussians(dgrad, slot_gid, N, perm=None):
         """Per-gaussian reduction of the per-slot gradient columns.
 
-        A row-scatter-add by gaussian id measured 7.6 ms at 512k slots vs
-        19.8 ms for a sort+running-sum segmented reduce (memory:
-        tpu-perf-model), so the scatter wins here. Padding/masked slots
-        carry gid -1 and zero grads; 'drop' mode discards them. XLA's
+        A row-scatter-add by gaussian id (~73M rows/s) measured faster than
+        nrows scalar scatters (6.2 ms EACH at 939k rows) and than a
+        sort+running-sum segmented reduce (19.8 ms; memory:
+        tpu-perf-model). The bwd kernel writes grads at TRUE slot columns
+        (pending-chunk accumulator), so the per-column gid is simply
+        `Binning.gid` and the scatter input is M+chunk columns, not the
+        old chunk-aligned M + 2*T*chunk buffer (12.8 -> ~5 ms at 480p).
+        Columns at/after the true intersection count carry gid -1 (and
+        possibly uninitialized grads) — 'drop' mode discards them. XLA's
         scatter-add applies updates in slot order — deterministic (the
         reference's atomicAdd is not).
         """
         nrows = 8 + C
-        # columns beyond the last written chunk are UNINITIALIZED device
-        # memory (no kernel instance touches them): their garbage ids would
-        # scatter garbage grads into random gaussians — mask them to the
-        # dropped index
-        col_ok = jnp.arange(gidg.shape[0], dtype=jnp.int32) < num_chunks * chunk
-        idx = jnp.where((gidg >= 0) & col_ok, gidg, N)
-        # one [Mg, nrows] row scatter-add (~73M rows/s): faster than nrows
-        # scalar scatters (6.2 ms EACH at 939k rows) and than sort+segment
-        # reduce (19.8 ms measured; see memory: tpu-perf-model)
-        mat = dgrad[:nrows].T                                 # [Mg, nrows]
+        idx = jnp.where(slot_gid >= 0, slot_gid, N)
+        mat = dgrad[:nrows].T                                 # [Ma, nrows]
         seg = jnp.zeros((N, nrows), jnp.float32).at[idx].add(mat, mode="drop")
         if perm is not None:
             # presorted binning: row s of seg belongs to gaussian perm[s];
@@ -793,9 +803,9 @@ def _build_splat(
     def splat_bwd(res, cts):
         b, out, finalT, N = res
         gimg = cts[0]
-        dgrad, gidg = bwd_pallas(b, out, finalT, gimg)
+        dgrad = bwd_pallas(b, out, finalT, gimg)
         duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(
-            dgrad, gidg, N, b.chunk_base[-1], b.perm
+            dgrad, b.gid, N, b.perm
         )
         zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (

@@ -76,10 +76,12 @@ class TrainerConfig:
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
-    block_x: int = 16                  # rasterizer tile (32, 16) measured
-    block_y: int = 16                  # fastest for pure rendering; training
-    #                                    keeps 16x16 (less VPU per chunk in
-    #                                    the wider backward) unless overridden
+    block_x: int = 16                  # rasterizer tile: 16x16 measured
+    block_y: int = 16                  # best for TRAINING (device 36.6 vs
+    #                                    38.6 ms at (32,16): the backward's
+    #                                    512-px chunks cost more than the
+    #                                    smaller grad scatter saves); pure
+    #                                    rendering prefers (32, 16)
     white_bg: bool = True
     # schedule
     max_steps: int = 20000

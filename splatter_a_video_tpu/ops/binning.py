@@ -72,6 +72,10 @@ class Binning(NamedTuple):
     # presorted mode only: gid values index DEPTH-SORTED gaussians and
     # perm[sgid] = original index (None = gid is the original index)
     perm: jnp.ndarray | None = None
+    # carry_prepos only: [M] pre-sort (gaussian-major expansion) position of
+    # each post-sort slot — the backward's segmented grad reduction sorts
+    # slot grads back into per-gaussian runs with it
+    prepos: jnp.ndarray | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -127,7 +131,7 @@ def _local_cummax(x: jnp.ndarray, max_dist: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk",
-        "block", "sort_mode", "presort",
+        "block", "sort_mode", "presort", "carry_prepos",
     ),
 )
 def bin_sort_pack(
@@ -144,6 +148,7 @@ def bin_sort_pack(
     block: int = 16,
     sort_mode: str = "packed",
     presort: bool = False,
+    carry_prepos: bool = False,
 ) -> Binning:
     """Build the sorted packed intersection stream.
 
@@ -193,6 +198,7 @@ def bin_sort_pack(
             tgx=tgx, tgy=tgy, M=M, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             xb=xb_, yb=yb_, wb=wb_, gbits=gb_,
+            carry_prepos=carry_prepos,
         )
 
     offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
@@ -299,6 +305,7 @@ def bin_sort_pack(
     # --- 3. (key, gid) sort + one post-sort channel gather -------------------
     inf_bits = np.float32(np.inf).view(np.int32).item()
     gid_slot = jnp.where(valid, g, -1)
+    pp = (s,) if carry_prepos else ()
     if two_scatter:
         db20 = jnp.where(valid, db20, inf_bits >> 11)
         key = (tile_id << 20) | db20
@@ -306,21 +313,21 @@ def bin_sort_pack(
         # by gaussian index — the reference's stable radix-sort behavior —
         # deterministically and identically under jit and eager, without
         # the extra iota operand a stable 1-key sort would cost
-        sorted_key, sorted_gid = jax.lax.sort(
-            (key, gid_slot), num_keys=2, is_stable=False
+        sorted_key, sorted_gid, *prepos = jax.lax.sort(
+            (key, gid_slot) + pp, num_keys=2, is_stable=False
         )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     elif sort_mode == "packed" and T < (1 << 11):
         depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
         key = (tile_id << 20) | jax.lax.shift_right_logical(depth_bits, 11)
-        sorted_key, sorted_gid = jax.lax.sort(
-            (key, gid_slot), num_keys=2, is_stable=False
+        sorted_key, sorted_gid, *prepos = jax.lax.sort(
+            (key, gid_slot) + pp, num_keys=2, is_stable=False
         )
         sorted_tile = jax.lax.shift_right_logical(sorted_key, 20)
     else:
         depth_bits = jnp.where(valid, slot_vals[0], inf_bits)
-        sorted_tile, _, sorted_gid = jax.lax.sort(
-            (tile_id, depth_bits, gid_slot), num_keys=2, is_stable=True
+        sorted_tile, _, sorted_gid, *prepos = jax.lax.sort(
+            (tile_id, depth_bits, gid_slot) + pp, num_keys=2, is_stable=True
         )
 
     pad_ok = sorted_gid >= 0
@@ -339,6 +346,7 @@ def bin_sort_pack(
         num_tiles_x=tgx,
         num_tiles_y=tgy,
         chunk=chunk,
+        prepos=prepos[0] if carry_prepos else None,
     )
 
 
@@ -385,6 +393,7 @@ def _pack_and_edges(sorted_tile, sorted_gid, channels, T, chunk):
 def _bin_sort_pack_presorted(
     depth, tiles, rect_min, rect_max, channels, *,
     tgx, tgy, M, chunk, max_tiles_per_gaussian, xb, yb, wb, gbits,
+    carry_prepos=False,
 ):
     """Depth-presorted single-scatter binning (see `bin_sort_pack` docs).
 
@@ -444,7 +453,11 @@ def _bin_sort_pack_presorted(
 
     # ---- single-operand slot sort ----------------------------------------
     key = jnp.where(valid, (tile_id << gbits) | sgid, jnp.int32(T << gbits))
-    (sorted_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    if carry_prepos:
+        sorted_key, prepos = jax.lax.sort((key, s), num_keys=1, is_stable=False)
+    else:
+        (sorted_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        prepos = None
     sorted_tile = jax.lax.shift_right_logical(sorted_key, gbits)
     pad_ok = sorted_tile < T
     sorted_gid = jnp.where(pad_ok, sorted_key & ((1 << gbits) - 1), -1)
@@ -464,6 +477,7 @@ def _bin_sort_pack_presorted(
         num_tiles_y=tgy,
         chunk=chunk,
         perm=perm,
+        prepos=prepos,
     )
 
 

@@ -652,7 +652,7 @@ def _build_splat(
     )
 
     def run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
-                    rect_min, rect_max):
+                    rect_min, rect_max, carry_prepos=False):
         # abs_sink values are NOT packed: they are all-zero gradient sinks
         # no kernel reads (their grads come from the bwd buffer's abs rows)
         channels = jnp.concatenate(
@@ -660,13 +660,15 @@ def _build_splat(
         )
         # presort is off for K_idx renders: gs_idx must report ORIGINAL
         # gaussian ids, and remapping a [H,W,K] id image through perm would
-        # cost more than the two-scatter layout saves
+        # cost more than the two-scatter layout saves. carry_prepos rides
+        # the slot sort only when the backward will run (splat_fwd): the
+        # grad reduction needs each slot's pre-sort position
         return _binning.bin_sort_pack(
             depth, tiles, rect_min, rect_max, channels, W, H,
             max_intersections=max_intersections,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             chunk=chunk, block=tile_wh, sort_mode=sort_mode,
-            presort=(K_idx == 0),
+            presort=(K_idx == 0), carry_prepos=carry_prepos,
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -753,29 +755,51 @@ def _build_splat(
         )(b.edges, b.packed, g, out_t, finalT_t)
         return dgrad[0]
 
-    def reduce_to_gaussians(dgrad, slot_gid, N, perm=None):
+    def reduce_to_gaussians(dgrad, b, N):
         """Per-gaussian reduction of the per-slot gradient columns.
 
-        A row-scatter-add by gaussian id (~73M rows/s) measured faster than
-        nrows scalar scatters (6.2 ms EACH at 939k rows) and than a
-        sort+running-sum segmented reduce (19.8 ms; memory:
-        tpu-perf-model). The bwd kernel writes grads at TRUE slot columns
-        (pending-chunk accumulator), so the per-column gid is simply
-        `Binning.gid` and the scatter input is M+chunk columns, not the
-        old chunk-aligned M + 2*T*chunk buffer (12.8 -> ~5 ms at 480p).
-        Columns at/after the true intersection count carry gid -1 (and
-        possibly uninitialized grads) — 'drop' mode discards them. XLA's
-        scatter-add applies updates in slot order — deterministic (the
-        reference's atomicAdd is not).
+        Instead of a row-scatter-add keyed by gid (XLA TPU scatters
+        serialize: 7.0 ms at 524k columns; memory: tpu-perf-model), invert
+        the slot sort with ONE int scatter of iota at `Binning.prepos` and
+        gather the grad columns back into PRE-SORT order — where each
+        gaussian's slots form one contiguous run of at most
+        `max_tiles_per_gaussian` columns. A log2(cap)-pass segmented
+        suffix-sum (Hillis-Steele over the bounded runs, the same trick as
+        binning's `_fill_forward`) then puts each gaussian's total at its
+        run start, and extraction is a plain gather at `Binning.offs`.
+        Fully deterministic (fixed tree summation order; the reference's
+        atomicAdd backward is not). Garbage columns at/after the true
+        intersection count carry gid -1, which never equals a valid gid,
+        so they cannot contaminate any run.
         """
         nrows = 8 + C
-        idx = jnp.where(slot_gid >= 0, slot_gid, N)
-        mat = dgrad[:nrows].T                                 # [Ma, nrows]
-        seg = jnp.zeros((N, nrows), jnp.float32).at[idx].add(mat, mode="drop")
-        if perm is not None:
+        M = max_intersections
+        iota = jnp.arange(M, dtype=jnp.int32)
+        inv = jnp.zeros((M,), jnp.int32).at[b.prepos].set(iota)
+        gid_f = jax.lax.bitcast_convert_type(b.gid[:M], jnp.float32)
+        src = jnp.concatenate([dgrad[:nrows, :M], gid_f[None, :]], axis=0)
+        x = jnp.take(src, inv, axis=1)                 # [nrows+1, M] pre-sort
+        gidp = jax.lax.bitcast_convert_type(x[nrows], jnp.int32)
+        x = x[:nrows]
+        cap = max(int(max_tiles_per_gaussian), 2)
+        shift = 1
+        while shift < cap:
+            xs = jnp.concatenate(
+                [x[:, shift:], jnp.zeros((nrows, shift), jnp.float32)], axis=1
+            )
+            gs = jnp.concatenate(
+                [gidp[shift:], jnp.full((shift,), -2, jnp.int32)]
+            )
+            x = x + jnp.where((gs == gidp)[None, :], xs, 0.0)
+            shift *= 2
+        safe_off = jnp.clip(b.offs, 0, M - 1)
+        per_g = jnp.take(x, safe_off, axis=1)          # [nrows, N]
+        per_g = jnp.where((b.tiles > 0)[None, :], per_g, 0.0)
+        seg = per_g.T                                  # [N, nrows]
+        if b.perm is not None:
             # presorted binning: row s of seg belongs to gaussian perm[s];
             # one disjoint row scatter restores the caller's order
-            seg = jnp.zeros_like(seg).at[perm].set(seg)
+            seg = jnp.zeros_like(seg).at[b.perm].set(seg)
         duv = seg[:, 0:2]
         dconic = seg[:, 2:5]
         dop = seg[:, 5]
@@ -794,7 +818,7 @@ def _build_splat(
     def splat_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,
                   rect_min, rect_max):
         b = run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
-                        rect_min, rect_max)
+                        rect_min, rect_max, carry_prepos=True)
         out, finalT, ncontrib, gs_idx = fwd_pallas(b)
         N = uv.shape[0]
         res = (b, out, finalT, N)
@@ -804,9 +828,7 @@ def _build_splat(
         b, out, finalT, N = res
         gimg = cts[0]
         dgrad = bwd_pallas(b, out, finalT, gimg)
-        duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(
-            dgrad, b.gid, N, b.perm
-        )
+        duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(dgrad, b, N)
         zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (
             duv,

@@ -26,9 +26,13 @@ per pixel, atomicAdd gradient scatter — maps badly to TPU. This design:
     slot columns of one [Dg, M+chunk] buffer: the sequential TPU grid
     lets a pending-chunk scratch accumulator merge the boundary chunks
     adjacent tiles share (disjoint lane sets) so every chunk is flushed
-    exactly once; the per-Gaussian reduction is then a single ordered
-    row scatter-add keyed by `Binning.gid` — fully deterministic, no
-    atomics (the reference's atomicAdd backward is not).
+    exactly once; the per-Gaussian reduction inverts the slot sort (one
+    int scatter of iota at the carried pre-sort positions + one gather)
+    so each gaussian's grads form a contiguous run bounded by
+    `max_tiles_per_gaussian`, reduced by a log2(cap)-pass segmented
+    suffix-sum and extracted at `Binning.offs` — fully deterministic
+    fixed-tree summation, no atomics (the reference's atomicAdd backward
+    is not), ~3x cheaper than a serialized XLA scatter-add.
 
 Gradient conventions match `alpha_blending_enhanced.cu:136-273`: the 0.99
 alpha clamp is ignored in the backward (d alpha/d opacity = exp(power)),
@@ -714,12 +718,13 @@ def _build_splat(
         finalT = tiles_to_img(outs[1])[..., 0]
         ncontrib = tiles_to_img(outs[2])[..., 0]
         gs_idx = tiles_to_img(outs[3]) if K_idx else None
-        return out, finalT, ncontrib, gs_idx
+        # outs[0]/outs[1] returned raw too: the bwd consumes the TILE
+        # layout, so saving them as residuals skips two image->tile
+        # transpose copies per backward
+        return out, finalT, ncontrib, gs_idx, outs[0], outs[1]
 
-    def bwd_pallas(b: _binning.Binning, out, finalT, g):
+    def bwd_pallas(b: _binning.Binning, out_t, finalT_t, g):
         g = img_to_tiles(g)
-        out_t = img_to_tiles(out)
-        finalT_t = img_to_tiles(finalT[..., None])
         kernel = functools.partial(
             _bwd_kernel, C=C, D=D, Dg=Dg, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
             alpha_grad_mask=alpha_grad_mask, scan_impl=scan_impl,
@@ -812,22 +817,22 @@ def _build_splat(
               rect_min, rect_max):
         b = run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
                         rect_min, rect_max)
-        out, finalT, ncontrib, gs_idx = fwd_pallas(b)
+        out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b)
         return out, finalT, ncontrib, gs_idx, b.num_intersections
 
     def splat_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,
                   rect_min, rect_max):
         b = run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
                         rect_min, rect_max, carry_prepos=True)
-        out, finalT, ncontrib, gs_idx = fwd_pallas(b)
+        out, finalT, ncontrib, gs_idx, out_t, finalT_t = fwd_pallas(b)
         N = uv.shape[0]
-        res = (b, out, finalT, N)
+        res = (b, out_t, finalT_t, N)
         return (out, finalT, ncontrib, gs_idx, b.num_intersections), res
 
     def splat_bwd(res, cts):
-        b, out, finalT, N = res
+        b, out_t, finalT_t, N = res
         gimg = cts[0]
-        dgrad = bwd_pallas(b, out, finalT, gimg)
+        dgrad = bwd_pallas(b, out_t, finalT_t, gimg)
         duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(dgrad, b, N)
         zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (

@@ -781,11 +781,15 @@ def _build_splat(
         M = max_intersections
         iota = jnp.arange(M, dtype=jnp.int32)
         inv = jnp.zeros((M,), jnp.int32).at[b.prepos].set(iota)
-        gid_f = jax.lax.bitcast_convert_type(b.gid[:M], jnp.float32)
+        # gid rides the f32 gather as an integer-VALUED float (+2 keeps the
+        # -1 padding positive), NOT a bitcast: small-int bit patterns are
+        # f32 denormals/NaNs that TPU fusions mangle in transport (measured:
+        # ALL 524k ids corrupted, reduction error 5.1; exact as values)
+        gid_f = (b.gid[:M] + 2).astype(jnp.float32)
         src = jnp.concatenate([dgrad[:nrows, :M], gid_f[None, :]], axis=0)
         x = jnp.take(src, inv, axis=1)                 # [nrows+1, M] pre-sort
-        gidp = jax.lax.bitcast_convert_type(x[nrows], jnp.int32)
-        x = x[:nrows]
+        gidp = x[nrows].astype(jnp.int32)              # gid + 2 (shift-safe
+        x = x[:nrows]                                  #  for == comparisons)
         cap = max(int(max_tiles_per_gaussian), 2)
         shift = 1
         while shift < cap:
@@ -797,10 +801,25 @@ def _build_splat(
             )
             x = x + jnp.where((gs == gidp)[None, :], xs, 0.0)
             shift *= 2
+        import os as _os
+        if _os.environ.get("AB_REDUCE"):
+            idx_ab = jnp.where(b.gid >= 0, b.gid, N)
+            seg_ab = jnp.zeros((N, nrows), jnp.float32).at[idx_ab].add(
+                dgrad[:nrows].T, mode="drop")
         safe_off = jnp.clip(b.offs, 0, M - 1)
         per_g = jnp.take(x, safe_off, axis=1)          # [nrows, N]
         per_g = jnp.where((b.tiles > 0)[None, :], per_g, 0.0)
         seg = per_g.T                                  # [N, nrows]
+        if _os.environ.get("AB_REDUCE"):
+            d_ab = jnp.abs(seg - seg_ab)
+            jax.debug.print(
+                "AB max {m} at g={g} row {r} scan={a} scat={b} tiles={t}",
+                m=jnp.max(d_ab), g=jnp.argmax(jnp.max(d_ab, axis=1)),
+                a=seg[jnp.argmax(jnp.max(d_ab, axis=1))],
+                b=seg_ab[jnp.argmax(jnp.max(d_ab, axis=1))],
+                r=jnp.argmax(d_ab[jnp.argmax(jnp.max(d_ab, axis=1))]),
+                t=b.tiles[jnp.argmax(jnp.max(d_ab, axis=1))],
+            )
         if b.perm is not None:
             # presorted binning: row s of seg belongs to gaussian perm[s];
             # one disjoint row scatter restores the caller's order

@@ -370,16 +370,13 @@ def arap_connectivity(
     Returns (nn_idx [S,k], weight [S,k], edge_valid [S,k]) for the queries.
     Edges beyond `least_edge_num` are cut when farther than `radius`.
     """
+    from ..ops.knn import _pairwise_sq_dists
+
     q = points if query_idx is None else points[query_idx]
-    # build the NEGATED distance matrix in one fused expression (matmul
-    # epilogue): a separate negate pass costs ~0.8 ms of pure HBM traffic
-    # at [512, 131k] (the matrix is 268 MB)
-    qq = jnp.sum(q * q, axis=-1, keepdims=True)
-    pp = jnp.sum(points * points, axis=-1)[None, :]
-    neg_d2 = jnp.minimum(2.0 * (q @ points.T) - qq - pp, 0.0)  # [S, N]
+    d2 = _pairwise_sq_dists(q, points)  # [S, N]
     if alive is not None:
-        neg_d2 = jnp.where(alive[None, :], neg_d2, -jnp.inf)
-    neg, idx = jax.lax.approx_max_k(neg_d2, k + 1)
+        d2 = jnp.where(alive[None, :], d2, jnp.inf)
+    neg, idx = jax.lax.approx_max_k(-d2, k + 1)
     nn_d, nn_i = -neg[:, 1:], idx[:, 1:]  # drop self (distance-0 top hit)
     cut = jnp.arange(k)[None, :] >= least_edge_num
     valid = jnp.where(cut, nn_d < radius**2, True)

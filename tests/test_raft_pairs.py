@@ -158,3 +158,32 @@ class TestBaDepth:
         assert np.isclose(d["depth"].max(), 1.0)
         assert d["c2w"][2][2, 3] == 2.0
         assert np.allclose(d["K"][0][:3, :3], K)
+
+
+class TestErrorMapSampling:
+    def test_error_map_branch(self, raft_dir, tmp_path):
+        """use_error_map: cached predicted flows steer pixel sampling
+        toward high-error regions (raft.py:108-121)."""
+        import numpy as np
+
+        from splatter_a_video_tpu.data import raft_pairs
+
+        pred_dir = tmp_path / "flow_cache"
+        pred_dir.mkdir()
+        names = sorted(
+            f for f in __import__("os").listdir(f"{raft_dir}/color")
+        )
+        rng = np.random.RandomState(7)
+        for i, n1 in enumerate(names):
+            n2 = names[(i + 1) % len(names)]
+            # cached prediction named like the supervision flow file
+            np.save(pred_dir / f"{n1}_{n2}.npy", rng.randn(24, 32, 2))
+        cfg = raft_pairs.RaftPairsConfig(
+            data_dir=raft_dir, num_imgs=len(names), num_pts=32, seed=1,
+            use_error_map=True, error_map_dir=str(pred_dir),
+        )
+        ds = raft_pairs.RaftExhaustivePairs(cfg)
+        ds.set_max_interval(1)  # pairs are i, i+1 -> cache names line up
+        s = ds.sample(0)
+        assert s["pts1"].shape == (32, 2)
+        assert np.isfinite(s["weights"]).all()

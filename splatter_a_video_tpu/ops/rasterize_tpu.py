@@ -801,25 +801,10 @@ def _build_splat(
             )
             x = x + jnp.where((gs == gidp)[None, :], xs, 0.0)
             shift *= 2
-        import os as _os
-        if _os.environ.get("AB_REDUCE"):
-            idx_ab = jnp.where(b.gid >= 0, b.gid, N)
-            seg_ab = jnp.zeros((N, nrows), jnp.float32).at[idx_ab].add(
-                dgrad[:nrows].T, mode="drop")
         safe_off = jnp.clip(b.offs, 0, M - 1)
         per_g = jnp.take(x, safe_off, axis=1)          # [nrows, N]
         per_g = jnp.where((b.tiles > 0)[None, :], per_g, 0.0)
         seg = per_g.T                                  # [N, nrows]
-        if _os.environ.get("AB_REDUCE"):
-            d_ab = jnp.abs(seg - seg_ab)
-            jax.debug.print(
-                "AB max {m} at g={g} row {r} scan={a} scat={b} tiles={t}",
-                m=jnp.max(d_ab), g=jnp.argmax(jnp.max(d_ab, axis=1)),
-                a=seg[jnp.argmax(jnp.max(d_ab, axis=1))],
-                b=seg_ab[jnp.argmax(jnp.max(d_ab, axis=1))],
-                r=jnp.argmax(d_ab[jnp.argmax(jnp.max(d_ab, axis=1))]),
-                t=b.tiles[jnp.argmax(jnp.max(d_ab, axis=1))],
-            )
         if b.perm is not None:
             # presorted binning: row s of seg belongs to gaussian perm[s];
             # one disjoint row scatter restores the caller's order

@@ -443,3 +443,52 @@ class TestEqualDepthDeterminism:
             bg=jnp.ones((3,)),
         )
         np.testing.assert_allclose(eager, np.asarray(ref.image), atol=2e-5)
+
+
+class TestScanReduction:
+    """Scan-vs-scatter A/B for the backward's segmented grad reduction
+    (formerly the AB_REDUCE env-gated debug block inside
+    `rasterize_tpu.reduce_to_gaussians`): the bounded-run Hillis-Steele
+    suffix-sum over per-slot gradients must equal a plain scatter-add."""
+
+    def _scan_reduce(self, dgrad, gid, offs, tiles, cap, N):
+        """Standalone replica of the production scan reduction (post-sort
+        layout: each gaussian's slots are one contiguous run <= cap)."""
+        nrows, M = dgrad.shape
+        x = jnp.asarray(dgrad)
+        gidp = jnp.asarray(gid) + 2
+        shift = 1
+        while shift < max(cap, 2):
+            xs = jnp.concatenate(
+                [x[:, shift:], jnp.zeros((nrows, shift), jnp.float32)], axis=1
+            )
+            gs = jnp.concatenate(
+                [gidp[shift:], jnp.full((shift,), -2, jnp.int32)]
+            )
+            x = x + jnp.where((gs == gidp)[None, :], xs, 0.0)
+            shift *= 2
+        safe_off = jnp.clip(jnp.asarray(offs), 0, M - 1)
+        per_g = jnp.take(x, safe_off, axis=1)
+        per_g = jnp.where((jnp.asarray(tiles) > 0)[None, :], per_g, 0.0)
+        return np.asarray(per_g.T)
+
+    def test_matches_scatter_add(self):
+        rng = np.random.RandomState(11)
+        N, cap, nrows = 64, 8, 5
+        tiles = rng.randint(0, cap + 1, N).astype(np.int32)
+        offs = np.concatenate([[0], np.cumsum(tiles)[:-1]]).astype(np.int32)
+        total = int(tiles.sum())
+        M = total + 16
+        gid = np.full(M, -1, np.int32)
+        for g in range(N):
+            gid[offs[g] : offs[g] + tiles[g]] = g
+        dgrad = rng.randn(nrows, M).astype(np.float32)
+        dgrad[:, total:] = rng.randn(nrows, M - total).astype(np.float32)
+
+        got = self._scan_reduce(dgrad, gid, offs, tiles, cap, N)
+
+        want = np.zeros((N, nrows), np.float64)
+        for s in range(total):
+            if gid[s] >= 0:
+                want[gid[s]] += dgrad[:, s]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -168,7 +168,10 @@ class VideoFlowData:
     def get_depth(self, i: int) -> np.ndarray:
         """Globally renormalized depth in [range_min, range_max]."""
         d = self.depths_raw[i]
-        return (d - self.depths_min) / (self.depths_max - self.depths_min) * (
+        span = self.depths_max - self.depths_min
+        if span <= 0:  # constant-depth clip: map everything to range_min
+            return np.full_like(d, self.depth_range_min)
+        return (d - self.depths_min) / span * (
             self.depth_range_max - self.depth_range_min
         ) + self.depth_range_min
 

@@ -153,7 +153,10 @@ def bin_sort_pack(
     """Build the sorted packed intersection stream.
 
     Args:
-      depth: [N] camera depths (0 = culled).
+      depth: [N] camera depths (0 = culled). PRECONDITION depth >= 0:
+        ordering keys are the raw f32 bit patterns and the packed mark
+        sentinel relies on a clear sign bit; negatives are clamped to 0
+        internally (sorting first) rather than trusted.
       tiles/rect_min/rect_max: EWA tile footprints.
       channels: [N, Dc] per-gaussian values to materialize per intersection
         (uv, conic, opacity, features, abs sinks — layout documented above).
@@ -220,8 +223,10 @@ def bin_sort_pack(
     # images, or > 2^gbits_max gaussians).
     s = jnp.arange(M, dtype=jnp.int32)
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    # depth must be > 0 for the bitcast-int key order AND for the packed
+    # mark sentinel (sign bit must stay clear); force it rather than assume
     depth_bits_g = jax.lax.bitcast_convert_type(
-        depth.astype(jnp.float32), jnp.int32
+        jnp.maximum(depth.astype(jnp.float32), 0.0), jnp.int32
     )
     row_idx = jnp.where(tiles > 0, offs, M)
     # scan/fill propagation distance is bounded by the clamped footprint
@@ -232,6 +237,10 @@ def bin_sort_pack(
     yb = max((tgy - 1).bit_length(), 1)
     wb = max(min(tgx, max_tiles_per_gaussian).bit_length(), 1)
     gbits = max((N - 1).bit_length(), 1)
+    # enforce the field-width invariant instead of assuming it: with
+    # max_radius=None a caller can pass rects wider than the wb-bit budget,
+    # which would silently overflow into adjacent packed fields
+    rect_w = jnp.minimum(rect_w, min((1 << wb) - 1, 0x1FF))
     two_scatter = (
         sort_mode == "packed"
         and T < (1 << 11)
@@ -408,8 +417,12 @@ def _bin_sort_pack_presorted(
     T = tgx * tgy
 
     # ---- global depth presort (full f32 bits: EXACT per-tile order) ------
-    dk = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    # depth > 0 forced: a sign bit would break the bitcast-int sort order
+    dk = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth.astype(jnp.float32), 0.0), jnp.int32
+    )
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    rect_w = jnp.minimum(rect_w, (1 << wb) - 1)  # field-width invariant
     rectword = (
         rect_min[:, 0].astype(jnp.int32)
         | (rect_min[:, 1].astype(jnp.int32) << xb)

@@ -57,20 +57,27 @@ def _imread(path: str) -> np.ndarray:
 
 def _bilinear(img: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """Sample img [H, W, C] at float pixel coords pts [N, 2] (x, y),
-    matching `F.grid_sample(..., align_corners=True)` with border clamp."""
+    matching `F.grid_sample(..., align_corners=True)` with its default
+    padding_mode='zeros': out-of-frame corner taps contribute 0, so points
+    flowing past the border fade to black exactly as in the reference
+    (`loaders/raft.py` pair supervision)."""
     H, W = img.shape[:2]
-    x = np.clip(pts[:, 0], 0.0, W - 1.0)
-    y = np.clip(pts[:, 1], 0.0, H - 1.0)
+    x = pts[:, 0].astype(np.float64)
+    y = pts[:, 1].astype(np.float64)
     x0 = np.floor(x).astype(np.int64)
     y0 = np.floor(y).astype(np.int64)
-    x1 = np.minimum(x0 + 1, W - 1)
-    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = x0 + 1
+    y1 = y0 + 1
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
-    a = img[y0, x0].astype(np.float64)
-    b = img[y0, x1].astype(np.float64)
-    c = img[y1, x0].astype(np.float64)
-    d = img[y1, x1].astype(np.float64)
+
+    def tap(yy, xx):
+        ok = ((xx >= 0) & (xx < W) & (yy >= 0) & (yy < H))[:, None]
+        v = img[np.clip(yy, 0, H - 1), np.clip(xx, 0, W - 1)].astype(np.float64)
+        return np.where(ok, v, 0.0)
+
+    a, b = tap(y0, x0), tap(y0, x1)
+    c, d = tap(y1, x0), tap(y1, x1)
     return ((a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy)
 
 

@@ -110,9 +110,10 @@ class TestRaftExhaustivePairs:
 
 class TestBilinear:
     def test_matches_grid_sample(self):
-        """_bilinear == torch grid_sample(align_corners=True) on interior
-        and border points (the reference samples gt_rgb2 this way,
-        raft.py:143-144)."""
+        """_bilinear == torch grid_sample(align_corners=True,
+        padding_mode='zeros' — the torch default the reference relies on)
+        on interior, border, AND out-of-frame points (out-flowing pts2 get
+        zero RGB supervision in the reference, raft.py:143-144)."""
         torch = pytest.importorskip("torch")
         import torch.nn.functional as F
 
@@ -121,7 +122,7 @@ class TestBilinear:
         rng = np.random.RandomState(1)
         img = rng.rand(11, 13, 3)
         pts = np.stack(
-            [rng.uniform(0, 12, 50), rng.uniform(0, 10, 50)], axis=1
+            [rng.uniform(-3, 15, 80), rng.uniform(-3, 13, 80)], axis=1
         )
         ours = _bilinear(img, pts)
         t_img = torch.from_numpy(img).permute(2, 0, 1)[None].double()

@@ -57,6 +57,8 @@ def main(argv=None):
         log_every=args.i_print,
         seed=args.seed,
         profile_dir=args.profile_dir,
+        error_resample_every=args.i_cache,
+        distributed=bool(args.distributed),
     )
     tcfg = trainer_lib.TrainerConfig(
         width=W,
@@ -66,6 +68,7 @@ def main(argv=None):
         loss_flow_weight=args.loss_flow_weight,
         num_track_samples=args.num_track_samples,
         max_steps=args.num_iters,
+        max_intersections=args.max_intersections,
     )
 
     t0 = time.time()

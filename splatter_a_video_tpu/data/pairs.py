@@ -132,6 +132,48 @@ class BatchBuilder:
         )
 
 
+def dp_batch_stream(
+    sampler: PairSampler,
+    builder: BatchBuilder,
+    num_steps: int,
+    n_devices: int,
+    prefetch: int = 2,
+    start_step: int = 0,
+) -> Iterator[Batch]:
+    """Data-parallel batch stream: each yielded `Batch` has a leading
+    [n_devices] axis (one frame pair per chip, `parallel/dp.stack_batches`
+    layout). Each optimizer step consumes n_devices sampler draws, so the
+    pair distribution matches the single-chip stream run n_devices times
+    as fast — the reference's DistributedSampler semantics
+    (`create_training_dataset.py:61-103`) without the rank bookkeeping."""
+    import jax.tree_util as jtu
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        for step in range(start_step, num_steps):
+            if stop.is_set():
+                return
+            group = []
+            for d in range(n_devices):
+                t1, t2 = sampler.sample(step * n_devices + d)
+                group.append(builder.build(t1, t2))
+            q.put(jtu.tree_map(lambda *xs: np.stack(xs), *group))
+        q.put(None)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    try:
+        while True:
+            b = q.get()
+            if b is None:
+                return
+            yield b
+    finally:
+        stop.set()
+
+
 def batch_stream(
     sampler: PairSampler,
     builder: BatchBuilder,

@@ -112,16 +112,14 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
         )(params, z, z)
         return grads, duv, radius, metrics
 
-    from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map_nocheck
 
-    @jax.jit
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P("dp")),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
+    def _shmap(f):
+        return jax.jit(shard_map_nocheck(
+            f, mesh, in_specs=(P(), P("dp")), out_specs=(P(), P())
+        ))
+
+    @_shmap
     def dp_step(state: _trainer.TrainState, batch: _trainer.Batch):
         # local batch has leading dim 1 (one pair per chip)
         local = jax.tree_util.tree_map(lambda x: x[0], batch)

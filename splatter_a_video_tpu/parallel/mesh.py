@@ -31,3 +31,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def batch_sharded(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(axis))
+
+
+def shard_map_nocheck(f, mesh: Mesh, in_specs, out_specs):
+    """`shard_map` with replication checking off, across the jax >= 0.8
+    rename (`check_rep` -> `check_vma`) and the pre-0.8 experimental API."""
+    try:
+        from jax import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=False)
+    except (ImportError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

@@ -40,8 +40,9 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import shard_map_nocheck
 
 from ..ops import projection as _projection
 from ..ops import quaternion as _quaternion
@@ -97,11 +98,10 @@ def render_gaussians_sharded(
         raise ValueError(f"N={N} not divisible by mesh axis {axis}={n_dev}")
 
     @partial(
-        shard_map,
+        shard_map_nocheck,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
     )
     def _run(pos, scl, rot, op, sh):
         # ---- global depth-slab assignment (replicated prologue) --------

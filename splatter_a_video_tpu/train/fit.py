@@ -10,6 +10,7 @@ frame-pair stream with density control on the reference cadence.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
@@ -18,7 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pairs import BatchBuilder, PairSampler, PairSamplerConfig, batch_stream
+from ..data.pairs import (
+    BatchBuilder,
+    PairSampler,
+    PairSamplerConfig,
+    batch_stream,
+    dp_batch_stream,
+)
 from ..data.video_flow import VideoFlowData
 from ..models import camera as _camera
 from ..models.gaussians import GaussianScene, SceneConfig, create_scene
@@ -52,6 +59,17 @@ class FitConfig:
     profile_dir: Optional[str] = None
     profile_start: int = 200
     profile_count: int = 5
+    # error-map resampling loop closure: every this many steps, render all
+    # frames, write per-frame photometric error to `out_dir/flow_error.txt`
+    # and bias the pair sampler's id1 draw by it — the mechanism
+    # `GSSimpleDataset` reads (`gs_data2.py:60-66`) but whose writer the
+    # reference never shipped (nothing creates flow_error.txt there; we
+    # close the loop; cadence mirrors `--i_cache`, config.py:88). 0 = off.
+    error_resample_every: int = 0
+    # data-parallel training over a device mesh: one frame pair per chip,
+    # grads pmean'd over ICI (`parallel/dp.py`). Replaces the reference's
+    # never-finished NCCL DDP scaffolding (`src/train.py:210-213`).
+    distributed: bool = False
 
 
 def build_scene_from_clip(
@@ -96,6 +114,35 @@ def build_scene_from_clip(
     return scene, scfg
 
 
+def _make_frame_error_fn(data: VideoFlowData, tcfg: _trainer.TrainerConfig, cam):
+    """One jitted lax.map over all frames -> per-frame mean |rgb error|,
+    the error-map signal `flow_error.txt` carries (`gs_data2.py:60-66`)."""
+    from ..ops import rasterize as _raster
+
+    rcfg = tcfg.raster_cfg()
+    extr_j = jnp.asarray(cam.extrinsic, jnp.float32)
+    gts = jnp.asarray(
+        np.stack([np.asarray(data.frames[i], np.float32)
+                  for i in range(data.num_frames)])
+    )
+    ts = jnp.arange(data.num_frames, dtype=jnp.float32)
+
+    @jax.jit
+    def frame_errors(scene: GaussianScene) -> jnp.ndarray:
+        def one(args):
+            t, gt = args
+            out = _raster.render_gaussians(
+                scene.get_position(t), scene.get_scaling(),
+                scene.get_rotation(t), scene.get_opacity(), scene.get_shs(),
+                extr_j, rcfg,
+            )
+            return jnp.mean(jnp.abs(out.features["rgb"] - gt))
+
+        return jax.lax.map(one, (ts, gts))
+
+    return frame_errors
+
+
 def fit_clip(
     data: VideoFlowData,
     fit_cfg: Optional[FitConfig] = None,
@@ -126,6 +173,19 @@ def fit_clip(
     train_step, density_step, opacity_reset = _trainer.make_train_step(
         trainer_cfg, cam.extrinsic
     )
+    ndev = 1
+    if fit_cfg.distributed:
+        from ..parallel import dp as _dp
+        from ..parallel import mesh as _mesh_lib
+
+        ndev = len(jax.devices())
+        if ndev > 1:
+            dp_mesh = _mesh_lib.make_mesh(ndev)
+            train_step = _dp.make_dp_train_step(
+                trainer_cfg, cam.extrinsic, dp_mesh
+            )
+        else:
+            ndev = 1  # single device: plain step (DP would only add noise)
     state = _trainer.init_train_state(trainer_cfg, scene, seed=fit_cfg.seed)
     start_step = 0
     if resume and out_dir is not None:
@@ -146,13 +206,22 @@ def fit_clip(
     sampler = PairSampler(PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed))
     builder = BatchBuilder(data, fit_cfg.num_track_samples, seed=fit_cfg.seed)
 
+    frame_errors = None
+    if fit_cfg.error_resample_every > 0:
+        frame_errors = _make_frame_error_fn(data, trainer_cfg, cam)
+
     history: List[Dict] = []
     t_start = time.time()
     profiling = False
-    for step, batch in enumerate(
-        batch_stream(sampler, builder, fit_cfg.num_iters, start_step=start_step),
-        start=start_step + 1,
-    ):
+    if ndev > 1:
+        stream = dp_batch_stream(
+            sampler, builder, fit_cfg.num_iters, ndev, start_step=start_step
+        )
+    else:
+        stream = batch_stream(
+            sampler, builder, fit_cfg.num_iters, start_step=start_step
+        )
+    for step, batch in enumerate(stream, start=start_step + 1):
         if fit_cfg.profile_dir is not None:
             if step == fit_cfg.profile_start:
                 jax.profiler.start_trace(fit_cfg.profile_dir)
@@ -166,6 +235,15 @@ def fit_clip(
             state, dinfo = density_step(state)
         if _trainer.should_reset_opacity(trainer_cfg, step):
             state = opacity_reset(state)
+        if (
+            frame_errors is not None
+            and step % fit_cfg.error_resample_every == 0
+            and step < fit_cfg.num_iters
+        ):
+            errs = np.maximum(np.asarray(frame_errors(state.scene)), 1e-8)
+            sampler.cfg.error_weights = errs  # biases subsequent id1 draws
+            if out_dir is not None:
+                np.savetxt(os.path.join(out_dir, "flow_error.txt"), errs)
         if step % fit_cfg.log_every == 0 or step == fit_cfg.num_iters:
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step

@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 # production learning rates (frag_gs_v10.yaml:40-67); position-like params
@@ -63,8 +64,11 @@ def expon_lr(
     """Log-linear interpolation lr(t) = exp(lerp(log init, log final, t)),
     parity with `ExponLRScheduler.get_expon_lr_func` (`scheduler.py:40-80`).
     """
-    li = jnp.log(init * lr_scale)
-    lf = jnp.log(final * lr_scale)
+    # plain-Python constants: this closure may be built lazily inside a
+    # traced region (optimizer attribute set binds at first update), and a
+    # jnp constant created there would leak into later traces
+    li = float(np.log(init * lr_scale))
+    lf = float(np.log(final * lr_scale))
 
     def sched(step):
         t = jnp.clip(jnp.asarray(step, jnp.float32) / max_steps, 0.0, 1.0)

@@ -92,6 +92,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
                         "steady-state train steps into this directory")
     p.add_argument("--i_img", type=int, default=500)
     p.add_argument("--i_weight", type=int, default=5000)
+    p.add_argument("--i_cache", type=int, default=0,
+                   help="error-map resampling cadence: every i_cache steps "
+                        "write per-frame photometric error to flow_error.txt "
+                        "and bias id1 sampling by it (reference cadence "
+                        "--i_cache, src/config.py:88; 0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from the latest checkpoint in out_dir")
     p.add_argument("--tensorboard", type=int, default=1)
@@ -99,6 +104,9 @@ def make_arg_parser() -> argparse.ArgumentParser:
                    help="use the built-in synthetic clip (no datadir needed)")
     p.add_argument("--distributed", type=int, default=0,
                    help="data-parallel over all local devices")
+    p.add_argument("--max_intersections", type=int, default=1 << 19,
+                   help="static rasterizer slot budget (gaussian-tile "
+                        "intersections); lower for small clips")
     return p
 
 

@@ -50,3 +50,58 @@ class TestFitClip:
         assert np.isfinite(last["loss"])
         assert last["loss"] < first["loss"], (first["loss"], last["loss"])
         assert last["psnr"] > first["psnr"] - 0.5  # should not degrade
+
+
+class TestErrorResample:
+    def test_flow_error_loop_closure(self, clip, tmp_path):
+        """Every `error_resample_every` steps the fit loop writes per-frame
+        photometric error to flow_error.txt and biases id1 sampling by it —
+        the writer side of `gs_data2.py:60-66` the reference never shipped."""
+        fcfg = fit.FitConfig(
+            num_iters=25, num_fg_samples=100, num_bg_samples=100,
+            num_track_samples=64, log_every=25, error_resample_every=10,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=64, height=48, num_frames=clip.num_frames,
+            num_track_samples=64, max_intersections=1 << 14,
+            arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=25),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        state, history = fit.fit_clip(clip, fcfg, tcfg, out_dir=str(tmp_path))
+        errs = np.loadtxt(tmp_path / "flow_error.txt")
+        assert errs.shape == (clip.num_frames,)
+        assert (errs > 0).all() and np.isfinite(errs).all()
+
+    def test_error_weights_bias_sampling(self):
+        from splatter_a_video_tpu.data.pairs import PairSampler, PairSamplerConfig
+
+        w = np.full(8, 1e-6)
+        w[3] = 1.0
+        s = PairSampler(PairSamplerConfig(num_frames=8, error_weights=w))
+        draws = [s.sample(i)[0] for i in range(200)]
+        assert np.mean(np.asarray(draws) == 3) > 0.95
+
+
+class TestDistributedFit:
+    def test_dp_fit_synthetic(self, clip):
+        """--distributed path: fit the synthetic clip end-to-end on the
+        8-virtual-CPU mesh, one frame pair per device (`parallel/dp.py`)."""
+        import jax
+
+        assert len(jax.devices()) >= 2
+        fcfg = fit.FitConfig(
+            num_iters=12, num_fg_samples=100, num_bg_samples=100,
+            num_track_samples=64, log_every=4, distributed=True,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=64, height=48, num_frames=clip.num_frames,
+            num_track_samples=64, max_intersections=1 << 14,
+            arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=12),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        state, history = fit.fit_clip(clip, fcfg, tcfg)
+        assert int(state.step) == 12
+        assert np.isfinite(history[-1]["loss"])
+        assert history[-1]["loss"] < history[0]["loss"] * 1.5

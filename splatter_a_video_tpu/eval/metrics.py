@@ -42,44 +42,23 @@ def ms_ssim(pred: np.ndarray, gt: np.ndarray, levels: int = 3) -> float:
     return float(np.mean(vals))
 
 
-_lpips_model = None
-_lpips_failed = False
+def lpips(pred: np.ndarray, gt: np.ndarray) -> float:
+    """LPIPS (VGG16 trunk + linear heads) — the pure-JAX implementation in
+    `eval/lpips.py`, matching the reference's vendored `lpips_pytorch`
+    architecture (`modules/networks.py:88-96`). Uses pretrained weights when
+    an `.npz` is available ($SPLAT_LPIPS_WEIGHTS or weights/lpips_vgg.npz);
+    otherwise a deterministic random trunk — a meaningful relative distance
+    but NOT comparable to published numbers; check `lpips_is_pretrained()`
+    before quoting it against the paper's 0.2283."""
+    from . import lpips as _lpips
+
+    return _lpips.lpips_distance(pred, gt)
 
 
-def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
-    """LPIPS (VGG) if pretrained weights are available locally; else None."""
-    global _lpips_model, _lpips_failed
-    if _lpips_failed:
-        return None
-    if _lpips_model is None:
-        try:
-            import torch
-            import torchvision
+def lpips_is_pretrained() -> bool:
+    from . import lpips as _lpips
 
-            vgg = torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
-            _lpips_model = vgg
-        except Exception:
-            _lpips_failed = True
-            return None
-    import torch
-
-    def prep(x):
-        t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-        return (t - mean) / std
-
-    layers = {3, 8, 15, 22, 29}
-    with torch.no_grad():
-        xa, xb = prep(pred), prep(gt)
-        dist = 0.0
-        for i, layer in enumerate(_lpips_model):
-            xa, xb = layer(xa), layer(xb)
-            if i in layers:
-                fa = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
-                fb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
-                dist += float(((fa - fb) ** 2).mean())
-    return dist
+    return _lpips.lpips_is_pretrained()
 
 
 def vgg_perceptual_loss(
@@ -94,52 +73,33 @@ def vgg_perceptual_loss(
 
     pred/gt: [H, W, 3] in [0, 1]; mask: optional [H, W] weights.
     """
-    global _lpips_model, _lpips_failed
-    if _lpips_failed:
-        return None
-    if _lpips_model is None:
-        try:
-            import torchvision
+    import jax
 
-            _lpips_model = (
-                torchvision.models.vgg16(weights="IMAGENET1K_V1").features.eval()
-            )
-        except Exception:
-            _lpips_failed = True
-            return None
-    import torch
+    from . import lpips as _lpips
 
-    def prep(x):
-        t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-        return (t - mean) / std
+    model = _lpips.get_model()
+
+    # ImageNet normalization (the reference's VGGLoss preprocessing)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    xa = jnp.asarray((np.asarray(pred, np.float32) - mean) / std)[None]
+    xb = jnp.asarray((np.asarray(gt, np.float32) - mean) / std)[None]
 
     def masked_l1(a, b, m):
-        d = (a - b).abs()
+        d = jnp.abs(a - b)
         if m is None:
-            return d.mean()
-        m = torch.nn.functional.interpolate(
-            m, size=d.shape[-2:], mode="bilinear", align_corners=True
-        )
-        return (d * m).sum() / (m.sum() * d.shape[1] + 1e-8)
+            return jnp.mean(d)
+        h, w = d.shape[1:3]
+        m_r = jax.image.resize(m, (h, w), "bilinear")[None, :, :, None]
+        return jnp.sum(d * m_r) / (jnp.sum(m_r) * d.shape[-1] + 1e-8)
 
-    # Vgg16 slices end AFTER relu1_2/relu2_2/relu3_3/relu4_3
-    # (`criterion.py:240-272`): feature indices 3, 8, 15, 22
-    taps = {3: 0, 8: 1, 15: 2, 22: 3}
+    m = jnp.asarray(mask, jnp.float32) if mask is not None else None
+    # relu1_2/relu2_2/relu3_3/relu4_3 taps, weights 1/16, 1/8, 1/4, 1
+    # (`criterion.py:240-272`); relu5_3 unused by the reference's vgg16 path
     weights = [1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0]
-    with torch.no_grad():
-        xa, xb = prep(pred), prep(gt)
-        m = (
-            torch.from_numpy(np.asarray(mask, np.float32))[None, None]
-            if mask is not None
-            else None
-        )
-        loss = float(masked_l1(xa, xb, m))
-        for i, layer in enumerate(_lpips_model):
-            xa, xb = layer(xa), layer(xb)
-            if i in taps:
-                loss += weights[taps[i]] * float(masked_l1(xa, xb, m))
-            if i >= 22:
-                break
+    fa = _lpips.vgg_raw_taps(model.params, xa)
+    fb = _lpips.vgg_raw_taps(model.params, xb)
+    loss = float(masked_l1(xa, xb, m))
+    for wgt, a, b in zip(weights, fa[:4], fb[:4]):
+        loss += wgt * float(masked_l1(a, b, m))
     return loss

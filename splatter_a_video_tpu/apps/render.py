@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--num_frames", type=int, required=True)
     p.add_argument("--slowmo", type=int, default=4)
     p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--max_intersections", type=int, default=1 << 19)
     args = p.parse_args(argv)
 
     from ..utils.runtime import enable_compilation_cache
@@ -45,7 +46,10 @@ def main(argv=None):
 
     scene = load_scene_from_ckpt(args.ckpt)
     cam = cam_lib.canonical_camera(args.width, args.height)
-    rcfg = raster_lib.RasterizeConfig(width=args.width, height=args.height)
+    rcfg = raster_lib.RasterizeConfig(
+        width=args.width, height=args.height,
+        max_intersections=args.max_intersections,
+    )
     out = args.out or os.path.join(args.ckpt, f"{args.mode}.mp4")
 
     T = args.num_frames

@@ -30,6 +30,7 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--num_frames", type=int, default=None)
     p.add_argument("--num_queries", type=int, default=256)
+    p.add_argument("--max_intersections", type=int, default=1 << 19)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -69,7 +70,9 @@ def main(argv=None):
     else:
         W, H, T = args.width, args.height, args.num_frames
     cam = cam_lib.canonical_camera(W, H)
-    rcfg = raster_lib.RasterizeConfig(width=W, height=H)
+    rcfg = raster_lib.RasterizeConfig(
+        width=W, height=H, max_intersections=args.max_intersections
+    )
 
     if args.mode == "eval":
         from ..eval import tapvid

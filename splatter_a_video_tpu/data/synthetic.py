@@ -120,3 +120,43 @@ def make_clip(cfg: SyntheticClipConfig) -> VideoFlowData:
         mask_erosion_radius=2,
     )
     return data.setup()
+
+
+def dump_clip_to_disk(data: VideoFlowData, base_dir: str) -> str:
+    """Write an in-memory clip in the reference's on-disk DAVIS layout
+    (`/root/reference/src/data_preparation/README.md:39-60`):
+
+      images/{name}.png                     uint8 frames
+      masks/{name}.png                      255 = fg
+      aligned_depth_anything_v2/{name}.npy  float disparity (1/depth)
+      bootstapir/{q}_{t}.npy                [N, 4] TAPIR tracks
+
+    so the CLI path `apps.train --datadir ...` can be exercised
+    hermetically. Returns base_dir.
+    """
+    import os
+
+    import imageio.v2 as imageio
+
+    names = data.frame_names or [f"{i:05d}" for i in range(len(data.frames))]
+    for sub in ("images", "masks", "aligned_depth_anything_v2", "bootstapir"):
+        os.makedirs(os.path.join(base_dir, sub), exist_ok=True)
+    for i, name in enumerate(names):
+        imageio.imwrite(
+            os.path.join(base_dir, "images", f"{name}.png"),
+            (np.clip(data.frames[i], 0, 1) * 255).astype(np.uint8),
+        )
+        imageio.imwrite(
+            os.path.join(base_dir, "masks", f"{name}.png"),
+            (np.asarray(data.masks_raw[i], np.uint8) * 255),
+        )
+        np.save(
+            os.path.join(base_dir, "aligned_depth_anything_v2", f"{name}.npy"),
+            (1.0 / np.maximum(np.asarray(data.depths_raw[i], np.float32), 1e-6)),
+        )
+    for (q, t), arr in (data.tracks or {}).items():
+        np.save(
+            os.path.join(base_dir, "bootstapir", f"{names[q]}_{names[t]}.npy"),
+            np.asarray(arr, np.float32),
+        )
+    return base_dir

@@ -30,28 +30,46 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _exp_coeffs(theta2: jnp.ndarray):
+    """Rodrigues coefficients A = sinθ/θ, B = (1−cosθ)/θ², C = (θ−sinθ)/θ³
+    on the UNNORMALIZED skew matrix, with Taylor branches near θ = 0 so the
+    map (and its gradient) is smooth at the identity — pose refinement
+    starts at xi = 0, where a w/max(θ,eps) normalization has a 1/eps-scale
+    gradient blowup."""
+    small = theta2 < 1e-8
+    th2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(th2_safe)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / th2_safe)
+    C = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (th2_safe * theta)
+    )
+    return A, B, C
+
+
 def so3_exp(w: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, eps)
-    K = hat(w / theta)
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
+    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3].
+    Smoothly differentiable at w = 0 (Taylor-branched coefficients)."""
+    del eps  # kept for API compatibility
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    A, B, _ = _exp_coeffs(theta2)
+    K = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    return eye + s * K + (1.0 - c) * (K @ K)
+    return eye + A * K + B * (K @ K)
 
 
 def se3_exp(xi: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """se(3) twist [..., 6] = (v, w) -> [..., 4, 4] rigid transform."""
+    """se(3) twist [..., 6] = (v, w) -> [..., 4, 4] rigid transform.
+    Smoothly differentiable at xi = 0 (Taylor-branched coefficients)."""
+    del eps
     v, w = xi[..., :3], xi[..., 3:]
-    theta = jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), eps)
-    K = hat(w / theta)
-    s = jnp.sin(theta)[..., None]
-    c = jnp.cos(theta)[..., None]
-    th = theta[..., None]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    A, B, C = _exp_coeffs(theta2)
+    K = hat(w)
+    K2 = K @ K
     eye = jnp.broadcast_to(jnp.eye(3), K.shape)
-    R = eye + s * K + (1.0 - c) * (K @ K)
-    V = eye + ((1.0 - c) / th) * K + ((th - s) / th) * (K @ K)
+    R = eye + A * K + B * K2
+    V = eye + B * K + C * K2
     t = (V @ v[..., None])[..., 0]
     top = jnp.concatenate([R, t[..., None]], axis=-1)
     bottom = jnp.broadcast_to(

@@ -1,0 +1,106 @@
+"""Trainable camera refinement (`train/camera_refine.py`) — parity target
+`TrainableCamera` (`/root/reference/src/pointrix/camera/camera.py:390-515`),
+wired end-to-end here (the reference never integrates it)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from splatter_a_video_tpu.models import camera as cam_lib
+from splatter_a_video_tpu.models import gaussians
+from splatter_a_video_tpu.ops import rasterize
+from splatter_a_video_tpu.train import camera_refine
+from splatter_a_video_tpu.utils.pose import apply_se3_to_extrinsic
+
+W, H, N = 64, 48, 512
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.RandomState(0)
+    pos = np.concatenate(
+        [rng.uniform(-0.7, 0.7, (N, 2)), rng.uniform(0.7, 1.7, (N, 1))],
+        axis=1,
+    ).astype(np.float32)
+    scfg = gaussians.SceneConfig(capacity=N, num_frames=4)
+    return gaussians.create_scene(
+        scfg, pos, rng.rand(N, 3).astype(np.float32), init_opacity=0.8
+    )
+
+
+class TestPoseRecovery:
+    def test_perturbed_camera_recovers(self, scene):
+        """Render target frames through PERTURBED cameras, start refinement
+        from the canonical pose, and verify the twists recover the
+        perturbation (photometric loss collapses and the refined render
+        matches the perturbed-ground-truth render)."""
+        cam = cam_lib.canonical_camera(W, H)
+        rcfg = rasterize.RasterizeConfig(
+            width=W, height=H, max_intersections=1 << 14
+        )
+        extr0 = jnp.asarray(cam.extrinsic)
+        rng = np.random.RandomState(1)
+        T = 3
+        xi_true = (rng.randn(T, 6) * np.array(
+            [0.02, 0.02, 0.02, 0.01, 0.01, 0.01]
+        )).astype(np.float32)
+
+        def render(extr, t):
+            return rasterize.render_gaussians(
+                scene.get_position(t), scene.get_scaling(),
+                scene.get_rotation(t), scene.get_opacity(), scene.get_shs(),
+                extr, rcfg,
+            ).features["rgb"]
+
+        frames = jnp.stack([
+            render(apply_se3_to_extrinsic(extr0, jnp.asarray(xi_true[t])), t)
+            for t in range(T)
+        ])
+
+        xi, info = camera_refine.refine_camera_poses(
+            scene, frames, cam.extrinsic, rcfg, num_iters=120, lr=3e-3
+        )
+        assert info["loss_last"] < 0.25 * info["loss_first"], info
+
+        # refined extrinsics reproduce the perturbed views
+        err0, err1 = [], []
+        for t in range(T):
+            tgt = np.asarray(frames[t])
+            base = np.asarray(render(extr0, t))
+            ref = np.asarray(
+                render(apply_se3_to_extrinsic(extr0, jnp.asarray(xi[t])), t)
+            )
+            err0.append(np.abs(base - tgt).mean())
+            err1.append(np.abs(ref - tgt).mean())
+        assert np.mean(err1) < 0.35 * np.mean(err0), (err0, err1)
+
+
+class TestJointStep:
+    def test_joint_step_moves_camera_and_scene(self, scene):
+        from splatter_a_video_tpu.data import pairs, synthetic
+        from splatter_a_video_tpu.train import density, optim, trainer
+
+        clip = synthetic.make_clip(
+            synthetic.SyntheticClipConfig(width=W, height=H, num_frames=4)
+        )
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=4, num_track_samples=64,
+            max_intersections=1 << 14, arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=20),
+            densify=density.DensifyConfig(),
+        )
+        cam = cam_lib.canonical_camera(W, H)
+        step = camera_refine.make_joint_train_step(
+            tcfg, cam.extrinsic, cam_lr=1e-3
+        )
+        state = camera_refine.init_cam_train_state(tcfg, scene, cam_lr=1e-3)
+        builder = pairs.BatchBuilder(clip, 64)
+        losses = []
+        for i in range(6):
+            batch = builder.build(i % 4, (i + 1) % 4)
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert np.abs(np.asarray(state.cam_xi)).max() > 0  # camera moved
+        assert int(state.base.step) == 6

@@ -29,6 +29,7 @@ from ..data.pairs import (
 from ..data.video_flow import VideoFlowData
 from ..models import camera as _camera
 from ..models.gaussians import GaussianScene, SceneConfig, create_scene
+from . import losses as _losses
 from . import trainer as _trainer
 
 
@@ -70,6 +71,11 @@ class FitConfig:
     # grads pmean'd over ICI (`parallel/dp.py`). Replaces the reference's
     # never-finished NCCL DDP scaffolding (`src/train.py:210-213`).
     distributed: bool = False
+    # periodic validation pass: render `val_frames` evenly-spaced frames,
+    # compute PSNR/SSIM and fire the before/after_val(_iter) hook sites
+    # (the pointrix validation path, `log_hook.py:66-158`). 0 = off.
+    val_every: int = 0
+    val_frames: int = 4
 
 
 def build_scene_from_clip(
@@ -143,6 +149,73 @@ def _make_frame_error_fn(data: VideoFlowData, tcfg: _trainer.TrainerConfig, cam)
     return frame_errors
 
 
+def _make_panel_fn(data: VideoFlowData, tcfg: _trainer.TrainerConfig, cam):
+    """Per-frame observability panels — the reference's in-training image
+    logging (`trainer_fragGS.py:847-879`: rendered rgb, gt, colorized
+    depth, error map, track overlay)."""
+    from .. import inference
+    from ..utils import vis as _vis
+
+    rcfg = tcfg.raster_cfg()
+    extr = jnp.asarray(cam.extrinsic, jnp.float32)
+
+    def panels(scene, t: int):
+        t = int(t)
+        out = inference.render_frame(scene, jnp.float32(t), extr, rcfg)
+        rgb = np.clip(np.asarray(out.features["rgb"]), 0, 1)
+        depth = np.asarray(out.features["depth"][..., 0])
+        gt = np.asarray(data.frames[t], np.float32)
+        imgs = {
+            "rgb_pred": rgb,
+            "rgb_gt": gt,
+            "depth": _vis.colorize_depth(depth),
+            "error": np.repeat(
+                np.abs(rgb - gt).mean(-1, keepdims=True), 3, axis=-1
+            ),
+        }
+        try:
+            tr3d = inference.gaussian_trajectories(
+                scene, list(range(t + 1)), sample=128
+            )
+            px = np.asarray(
+                _losses.denormalize_coords(
+                    jnp.asarray(tr3d[..., :2]), tcfg.height, tcfg.width
+                )
+            )
+            imgs["tracks"] = _vis.draw_tracks_2d(rgb, px)
+        except Exception:
+            pass  # overlay is best-effort; panels above always ship
+        return imgs
+
+    return panels
+
+
+def _run_validation(data, scene, render_panels, val_frames, hooks, ctx):
+    """PSNR/SSIM over evenly-spaced frames + the four val hook sites."""
+    from ..eval import metrics as _metrics
+    from .hooks import run_hooks
+
+    run_hooks(hooks, "before_val", ctx)
+    T = data.num_frames
+    ts = np.unique(
+        np.linspace(0, T - 1, min(val_frames, T)).astype(int)
+    )
+    psnrs, ssims = [], []
+    for t in ts:
+        run_hooks(hooks, "before_val_iter", ctx)
+        imgs = render_panels(scene, int(t))
+        gt = np.asarray(data.frames[int(t)], np.float32)
+        psnrs.append(_metrics.psnr(imgs["rgb_pred"], gt))
+        ssims.append(_metrics.ssim(imgs["rgb_pred"], gt))
+        run_hooks(hooks, "after_val_iter", ctx)
+    ctx.val_metrics = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "num_frames": float(len(ts)),
+    }
+    run_hooks(hooks, "after_val", ctx)
+
+
 def fit_clip(
     data: VideoFlowData,
     fit_cfg: Optional[FitConfig] = None,
@@ -151,6 +224,7 @@ def fit_clip(
     hooks: Optional[List] = None,
     out_dir: Optional[str] = None,
     resume: bool = False,
+    sampler=None,
 ) -> Tuple[_trainer.TrainState, List[Dict]]:
     """Fit one clip end-to-end. Returns (final state, metric history).
 
@@ -186,6 +260,13 @@ def fit_clip(
             )
         else:
             ndev = 1  # single device: plain step (DP would only add noise)
+    from .hooks import HookContext, run_hooks
+
+    hooks = hooks or []
+    ctx = HookContext(out_dir or ".", cfg=trainer_cfg)
+    ctx.hooks = hooks
+    run_hooks(hooks, "before_run", ctx)
+
     state = _trainer.init_train_state(trainer_cfg, scene, seed=fit_cfg.seed)
     start_step = 0
     if resume and out_dir is not None:
@@ -195,15 +276,25 @@ def fit_clip(
         if restored is not None:
             state, start_step = restored, int(ck_step)
             print(f"resumed from {out_dir} at step {start_step}", flush=True)
+            ctx.state = state
+            ctx.step = start_step
+            run_hooks(hooks, "after_load_checkpoint", ctx)
 
-    from .hooks import HookContext, run_hooks
-
-    hooks = hooks or []
-    ctx = HookContext(out_dir or ".", cfg=trainer_cfg)
     ctx.state = state
     run_hooks(hooks, "before_train", ctx)
 
-    sampler = PairSampler(PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed))
+    # image-panel cadence: the max image_every any hook requests
+    image_every = max(
+        [getattr(h, "image_every", 0) or 0 for h in hooks], default=0
+    )
+    render_panels = None
+    if image_every > 0 or fit_cfg.val_every > 0:
+        render_panels = _make_panel_fn(data, trainer_cfg, cam)
+
+    if sampler is None:
+        sampler = PairSampler(
+            PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed)
+        )
     builder = BatchBuilder(data, fit_cfg.num_track_samples, seed=fit_cfg.seed)
 
     frame_errors = None
@@ -222,6 +313,8 @@ def fit_clip(
             sampler, builder, fit_cfg.num_iters, start_step=start_step
         )
     for step, batch in enumerate(stream, start=start_step + 1):
+        ctx.step = step
+        run_hooks(hooks, "before_train_iter", ctx)
         if fit_cfg.profile_dir is not None:
             if step == fit_cfg.profile_start:
                 jax.profiler.start_trace(fit_cfg.profile_dir)
@@ -260,10 +353,24 @@ def fit_clip(
             ctx.step = step
             ctx.metrics = m
             ctx.state = state
+            if (
+                render_panels is not None
+                and image_every
+                and step % image_every == 0
+            ):
+                ctx.images = render_panels(state.scene, step % data.num_frames)
             run_hooks(hooks, "after_train_iter", ctx)
+        if fit_cfg.val_every and step % fit_cfg.val_every == 0:
+            ctx.step = step
+            ctx.state = state
+            _run_validation(
+                data, state.scene, render_panels, fit_cfg.val_frames,
+                hooks, ctx,
+            )
     if profiling:
         jax.profiler.stop_trace()
     ctx.step = int(state.step)
     ctx.state = state
     run_hooks(hooks, "after_train", ctx)
+    run_hooks(hooks, "after_run", ctx)
     return state, history

@@ -20,7 +20,28 @@ from typing import Dict, List, Optional
 
 
 class Hook:
-    """Lifecycle callback base — sites mirror `hook.py:7-16`."""
+    """Lifecycle callback base — all 12 sites of the reference's `Hook`
+    (`hook.py:12-16`: before_run, after_load_checkpoint, before_train,
+    before/after_train_iter, before/after_val, before/after_val_iter,
+    before_save_checkpoint, after_train, after_run).
+
+    Cadence deviation (documented, PARITY.md): `after_train_iter` fires at
+    the log cadence, not every step — materializing device metrics each
+    step would force a host sync into the async dispatch pipeline.
+    `before_train_iter` does fire every step (it needs no metrics)."""
+
+    locations = (
+        "before_run", "after_load_checkpoint", "before_train",
+        "before_train_iter", "after_train_iter", "before_val",
+        "before_val_iter", "after_val_iter", "after_val",
+        "before_save_checkpoint", "after_train", "after_run",
+    )
+
+    def before_run(self, ctx):
+        pass
+
+    def after_load_checkpoint(self, ctx):
+        pass
 
     def before_train(self, ctx):
         pass
@@ -31,7 +52,25 @@ class Hook:
     def after_train_iter(self, ctx):
         pass
 
+    def before_val(self, ctx):
+        pass
+
+    def before_val_iter(self, ctx):
+        pass
+
+    def after_val_iter(self, ctx):
+        pass
+
+    def after_val(self, ctx):
+        pass
+
+    def before_save_checkpoint(self, ctx):
+        pass
+
     def after_train(self, ctx):
+        pass
+
+    def after_run(self, ctx):
         pass
 
 
@@ -43,6 +82,7 @@ class HookContext:
         self.cfg = cfg
         self.step = 0
         self.metrics: Dict[str, float] = {}
+        self.val_metrics: Dict[str, float] = {}
         self.state = None
         self.images: Dict[str, "object"] = {}
 
@@ -77,7 +117,7 @@ class LogHook(Hook):
         if self._writer is not None:
             for k, v in ctx.metrics.items():
                 self._writer.add_scalar(f"train/{k}", float(v), ctx.step)
-            if self.image_every and ctx.step % self.image_every == 0:
+            if ctx.images:
                 for name, img in ctx.images.items():
                     import numpy as np
 
@@ -85,6 +125,7 @@ class LogHook(Hook):
                     self._writer.add_image(
                         f"train/{name}", arr, ctx.step, dataformats="HWC"
                     )
+                ctx.images = {}
         if self.print_every and ctx.step % self.print_every == 0:
             parts = "  ".join(
                 f"{k} {self._ema_vals.get(k, 0):.4f}"
@@ -93,6 +134,17 @@ class LogHook(Hook):
             )
             rate = ctx.step / max(time.time() - self._t0, 1e-9)
             print(f"step {ctx.step:6d}  {parts}  {rate:.2f} it/s", flush=True)
+
+    def after_val(self, ctx: HookContext):
+        """Validation metrics + panels (`log_hook.py:66-158` equivalent)."""
+        if self._writer is not None:
+            for k, v in ctx.val_metrics.items():
+                self._writer.add_scalar(f"val/{k}", float(v), ctx.step)
+        if self.print_every:
+            parts = "  ".join(
+                f"{k} {float(v):.4f}" for k, v in ctx.val_metrics.items()
+            )
+            print(f"val @ step {ctx.step}: {parts}", flush=True)
 
     def after_train(self, ctx: HookContext):
         if self._writer is not None:
@@ -108,15 +160,21 @@ class CheckPointHook(Hook):
 
     def after_train_iter(self, ctx: HookContext):
         if self.every and ctx.step % self.every == 0 and ctx.state is not None:
-            from ..utils.checkpoint import save_checkpoint
-
-            save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
+            self._save(ctx)
 
     def after_train(self, ctx: HookContext):
         if ctx.state is not None:
-            from ..utils.checkpoint import save_checkpoint
+            self._save(ctx)
 
-            save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
+    def _save(self, ctx: HookContext):
+        # notify peers first (the reference's before_save_checkpoint site)
+        run_hooks(
+            [h for h in getattr(ctx, "hooks", []) if h is not self],
+            "before_save_checkpoint", ctx,
+        )
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
 
 
 def run_hooks(hooks: List[Hook], site: str, ctx: HookContext) -> None:

@@ -105,3 +105,57 @@ class TestDistributedFit:
         assert int(state.step) == 12
         assert np.isfinite(history[-1]["loss"])
         assert history[-1]["loss"] < history[0]["loss"] * 1.5
+
+
+class TestObservability:
+    def test_hook_sites_panels_and_validation(self, clip, tmp_path):
+        """All 12 hook sites fire, image panels reach after_train_iter at
+        the image cadence, val metrics are produced, and TB event files are
+        written (reference panels: `trainer_fragGS.py:847-879`)."""
+        from splatter_a_video_tpu.train import hooks as hooks_lib
+
+        seen = {"sites": [], "image_keys": set(), "val": None}
+
+        class Recorder(hooks_lib.Hook):
+            image_every = 10
+
+            def __getattribute__(self, name):
+                if name in hooks_lib.Hook.locations:
+                    def site(ctx, _n=name):
+                        seen["sites"].append(_n)
+                        if _n == "after_train_iter" and ctx.images:
+                            seen["image_keys"] |= set(ctx.images.keys())
+                        if _n == "after_val":
+                            seen["val"] = dict(ctx.val_metrics)
+                    return site
+                return object.__getattribute__(self, name)
+
+        fcfg = fit.FitConfig(
+            num_iters=20, num_fg_samples=100, num_bg_samples=100,
+            num_track_samples=64, log_every=10, val_every=10, val_frames=2,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=64, height=48, num_frames=clip.num_frames,
+            num_track_samples=64, max_intersections=1 << 14,
+            arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=20),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        log = hooks_lib.LogHook(print_every=0, tensorboard=True)
+        ckpt = hooks_lib.CheckPointHook(every=10)
+        state, _ = fit.fit_clip(
+            clip, fcfg, tcfg, hooks=[Recorder(), log, ckpt],
+            out_dir=str(tmp_path),
+        )
+        sites = set(seen["sites"])
+        for s in ("before_run", "before_train", "before_train_iter",
+                  "after_train_iter", "before_val", "before_val_iter",
+                  "after_val_iter", "after_val", "before_save_checkpoint",
+                  "after_train", "after_run"):
+            assert s in sites, f"site {s} never fired"
+        assert {"rgb_pred", "rgb_gt", "depth", "error"} <= seen["image_keys"]
+        assert seen["val"] is not None and seen["val"]["psnr"] > 0
+        tb = tmp_path / "tb"
+        if tb.exists():  # torch summary writer available
+            evs = list(tb.glob("events.*"))
+            assert evs and evs[0].stat().st_size > 500

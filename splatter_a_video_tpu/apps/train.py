@@ -86,9 +86,16 @@ def main(argv=None):
         hooks_lib.LogHook(print_every=0, tensorboard=bool(args.tensorboard)),
         hooks_lib.CheckPointHook(every=args.i_weight),
     ]
+    from ..data.factory import make_training_sampler
+
+    sampler = make_training_sampler(
+        args.dataset_types, data.num_frames,
+        dataset_weights=args.dataset_weights, seed=args.seed,
+    ) if args.dataset_types != "simpleGS" else None
+
     state, history = fit_lib.fit_clip(
         data, fcfg, tcfg, callback=cb, hooks=hooks,
-        out_dir=args.out_dir, resume=args.resume,
+        out_dir=args.out_dir, resume=args.resume, sampler=sampler,
     )
     ckpt_lib.save_checkpoint(args.out_dir, state, int(state.step))
     from .train_state_io import save_scene_cfg

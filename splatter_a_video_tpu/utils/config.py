@@ -104,6 +104,13 @@ def make_arg_parser() -> argparse.ArgumentParser:
                    help="use the built-in synthetic clip (no datadir needed)")
     p.add_argument("--distributed", type=int, default=0,
                    help="data-parallel over all local devices")
+    p.add_argument("--dataset_types", type=str, default="simpleGS",
+                   help="'+'-joined pair-sampling policies "
+                        "(simpleGS/gaussian/flow/point), reference "
+                        "create_training_dataset.py:165")
+    p.add_argument("--dataset_weights", type=float, nargs="*", default=None,
+                   help="mixture weights for '+'-joined dataset_types "
+                        "(must sum to 1)")
     p.add_argument("--max_intersections", type=int, default=1 << 19,
                    help="static rasterizer slot budget (gaussian-tile "
                         "intersections); lower for small clips")

@@ -109,3 +109,65 @@ class TestPairs:
         batches = list(stream)
         assert len(batches) == 5
         assert int(batches[3].t1) == 3
+
+
+class TestDatasetFactory:
+    """Weighted dataset-mix factory (`data/factory.py`) — parity with
+    `get_training_dataset` (`create_training_dataset.py:61-188`)."""
+
+    def test_single_type_plain_sampler(self):
+        from splatter_a_video_tpu.data.factory import make_training_sampler
+        from splatter_a_video_tpu.data.pairs import PairSampler
+
+        s = make_training_sampler("simpleGS", num_frames=8)
+        assert isinstance(s, PairSampler)
+        assert not s.cfg.use_curriculum
+        g = make_training_sampler("gaussian", num_frames=8)
+        assert g.cfg.use_curriculum
+
+    def test_weighted_mixture_ratio(self):
+        from splatter_a_video_tpu.data.factory import make_training_sampler
+
+        mix = make_training_sampler(
+            "simpleGS+gaussian", num_frames=40,
+            dataset_weights=[0.8, 0.2], seed=1,
+        )
+        # curriculum policy draws t2 within start_interval=5 of t1;
+        # uniform policy draws t2 anywhere. Measure the wide-interval rate.
+        wide = 0
+        n = 2000
+        for i in range(n):
+            t1, t2 = mix.sample(i)
+            if abs(t2 - t1) > 6:
+                wide += 1
+        # uniform contributes ~0.8 * P(|gap|>6) ≈ 0.8 * 0.66; curriculum 0
+        assert 0.35 < wide / n < 0.68, wide / n
+
+    def test_weights_must_sum_to_one(self):
+        import pytest as _pytest
+
+        from splatter_a_video_tpu.data.factory import make_training_sampler
+
+        with _pytest.raises(ValueError):
+            make_training_sampler(
+                "simpleGS+gaussian", 8, dataset_weights=[0.8, 0.5]
+            )
+
+    def test_curriculum_passthrough_and_error_weights(self):
+        import numpy as np
+
+        from splatter_a_video_tpu.data.factory import make_training_sampler
+
+        mix = make_training_sampler(
+            "simpleGS+gaussian", num_frames=10,
+            dataset_weights=[0.5, 0.5], seed=0,
+        )
+        mix.set_max_interval(3)
+        assert all(s.cfg.start_interval == 3 for s in mix.samplers)
+        mix.increase_max_interval_by(2)
+        assert all(s.cfg.start_interval == 5 for s in mix.samplers)
+        w = np.full(10, 1e-9)
+        w[4] = 1.0
+        mix.cfg.error_weights = w  # the fit loop's resampling hook
+        draws = [mix.sample(i)[0] for i in range(100)]
+        assert np.mean(np.asarray(draws) == 4) > 0.9

@@ -74,7 +74,14 @@ res = inference.render_video(scene, cam, rcfg, list(range(clip.num_frames)))
 for t in range(clip.num_frames):
     psnrs.append(metrics.psnr(res["rgb"][t], clip.frames[t]))
     ssims.append(metrics.ssim(res["rgb"][t], clip.frames[t]))
-print(f"recon: PSNR {np.mean(psnrs):.2f} SSIM {np.mean(ssims):.4f}", flush=True)
+lp = [metrics.lpips(res["rgb"][t], clip.frames[t])
+      for t in range(0, clip.num_frames, max(clip.num_frames // 6, 1))]
+lp_tag = "" if metrics.lpips_is_pretrained() else " (random-trunk)"
+print(
+    f"recon: PSNR {np.mean(psnrs):.2f} SSIM {np.mean(ssims):.4f} "
+    f"LPIPS {np.mean(lp):.4f}{lp_tag}",
+    flush=True,
+)
 
 m = tapvid.evaluate_scene_tracking(scene, clip, cam, rcfg, num_queries=128)
 print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items() if "_" not in k or True}), flush=True)

@@ -436,7 +436,9 @@ def _bin_sort_pack_presorted(
         num_keys=2, is_stable=False,
     )
     # reorder channels once at N scale (3-4x smaller than an M-scale gather)
-    channels_s = jnp.take(channels, perm, axis=0)
+    channels_s = jax.lax.optimization_barrier(
+        jnp.take(channels, jax.lax.optimization_barrier(perm), axis=0)
+    )
 
     offs = (jnp.cumsum(tiles_s) - tiles_s).astype(jnp.int32)
     total = offs[-1] + tiles_s[-1]
@@ -447,10 +449,17 @@ def _bin_sort_pack_presorted(
 
     # ---- ONE scatter + bounded fill/cummax -------------------------------
     word_g = (rect_s_g << gbits) | jnp.arange(N, dtype=jnp.int32)
-    word = jnp.zeros((M,), jnp.int32).at[row_idx].set(word_g, mode="drop")
+    row_idx_b, word_g_b = jax.lax.optimization_barrier((row_idx, word_g))
+    word = jnp.zeros((M,), jnp.int32).at[row_idx_b].set(word_g_b, mode="drop")
+    word = jax.lax.optimization_barrier(word)
     has_mark = word != 0
-    word_f = _fill_forward(has_mark, word[None, :], cap)[0]
-    start_pos = _local_cummax(jnp.where(has_mark, s, -1), cap)
+    # one fused fill: the start position rides as a second row under the
+    # SAME mask (replaces a separate _local_cummax — same bytes, half the
+    # pass count)
+    filled = _fill_forward(
+        has_mark, jnp.stack([word, s]), cap
+    )
+    word_f, start_pos = filled[0], filled[1]
     j = s - start_pos
 
     sgid = word_f & ((1 << gbits) - 1)

@@ -17,3 +17,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running e2e/integration tests (full fits, multi-device "
+        "steps); `pytest -m 'not slow'` is the fast development loop",
+    )

@@ -28,6 +28,7 @@ def scene():
     )
 
 
+@pytest.mark.slow
 class TestPoseRecovery:
     def test_perturbed_camera_recovers(self, scene):
         """Render target frames through PERTURBED cameras, start refinement
@@ -75,6 +76,7 @@ class TestPoseRecovery:
         assert np.mean(err1) < 0.35 * np.mean(err0), (err0, err1)
 
 
+@pytest.mark.slow
 class TestJointStep:
     def test_joint_step_moves_camera_and_scene(self, scene):
         from splatter_a_video_tpu.data import pairs, synthetic

@@ -15,6 +15,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from splatter_a_video_tpu.data import synthetic
 
 

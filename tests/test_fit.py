@@ -30,6 +30,7 @@ class TestBuildScene:
         assert np.abs(p1 - p0).max() > 0.01
 
 
+@pytest.mark.slow
 class TestFitClip:
     def test_short_fit_improves(self, clip):
         fcfg = fit.FitConfig(
@@ -52,6 +53,7 @@ class TestFitClip:
         assert last["psnr"] > first["psnr"] - 0.5  # should not degrade
 
 
+@pytest.mark.slow
 class TestErrorResample:
     def test_flow_error_loop_closure(self, clip, tmp_path):
         """Every `error_resample_every` steps the fit loop writes per-frame
@@ -83,6 +85,7 @@ class TestErrorResample:
         assert np.mean(np.asarray(draws) == 3) > 0.95
 
 
+@pytest.mark.slow
 class TestDistributedFit:
     def test_dp_fit_synthetic(self, clip):
         """--distributed path: fit the synthetic clip end-to-end on the
@@ -107,6 +110,7 @@ class TestDistributedFit:
         assert history[-1]["loss"] < history[0]["loss"] * 1.5
 
 
+@pytest.mark.slow
 class TestObservability:
     def test_hook_sites_panels_and_validation(self, clip, tmp_path):
         """All 12 hook sites fire, image panels reach after_train_iter at

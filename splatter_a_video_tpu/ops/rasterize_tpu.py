@@ -71,18 +71,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def packed_rows(C: int) -> int:
-    """Rows of the packed stream: uv(2) conic(3) opacity(1) features(C),
-    padded to a multiple of 8 sublanes. The abs-sink values are NOT packed:
-    they are all-zero gradient sinks that no kernel reads (the bwd kernel
-    only WRITES |duv| into the grad buffer's abs rows)."""
-    return _round_up(6 + C, 8)
+def packed_rows(C: int, with_bias: bool = False) -> int:
+    """Rows of the packed stream: uv(2) conic(3) opacity(1) features(C)
+    [+ opacity_bias(1)], padded to a multiple of 8 sublanes. The abs-sink
+    values are NOT packed: they are all-zero gradient sinks that no kernel
+    reads (the bwd kernel only WRITES |duv| into the grad buffer's abs
+    rows)."""
+    return _round_up(6 + C + (1 if with_bias else 0), 8)
 
 
-def grad_rows(C: int) -> int:
+def grad_rows(C: int, with_bias: bool = False) -> int:
     """Rows of the bwd grad buffer: duv(2) dconic(3) dop(1) dfeat(C)
-    dabs(2), padded to a multiple of 8 sublanes."""
-    return _round_up(8 + C, 8)
+    dabs(2) [+ dbias(1)], padded to a multiple of 8 sublanes."""
+    return _round_up(8 + C + (1 if with_bias else 0), 8)
 
 
 def _tri_incl(K: int, dtype=jnp.float32):
@@ -159,13 +160,15 @@ _LN2 = 0.6931471805599453    # log2(e)/ln(2) into existing multiplies keeps
 #                              exp2/log2 single-op (exp/log each hide a mul)
 
 
-def _chunk_alpha(data, px_x, px_y, lane_ok):
+def _chunk_alpha(data, px_x, px_y, lane_ok, bias_row: Optional[int] = None):
     """Shared fwd/bwd screen-space math for one [D, K] chunk.
 
     `gexp` is exp(power) with power = -0.5(a vx^2 + c vy^2) - b vx vy,
     computed as exp2 of the base-2-scaled quadratic (same value; the
     log2(e) factor folds into the -0.5 constant instead of costing a
-    separate multiply inside exp).
+    separate multiply inside exp). With `bias_row`, alpha gains the
+    per-gaussian opacity bias: alpha = min(0.99, op*G + bias)
+    (`alpha_blending_with_bias.cu:89,213`).
     """
     uvx = data[0:1, :]
     uvy = data[1:2, :]
@@ -181,7 +184,10 @@ def _chunk_alpha(data, px_x, px_y, lane_ok):
     # clamp before exp: power>0 entries are masked, and an inf gexp would
     # poison masked gradients with inf * 0 = nan
     gexp = jnp.exp2(jnp.minimum(power2, 0.0))
-    alpha = jnp.minimum(ALPHA_MAX, op * gexp)
+    raw = op * gexp
+    if bias_row is not None:
+        raw = raw + data[bias_row : bias_row + 1, :]
+    alpha = jnp.minimum(ALPHA_MAX, raw)
     alpha_eff = jnp.where(
         (power2 <= 0.0) & (alpha >= ALPHA_MIN) & lane_ok, alpha, 0.0
     )
@@ -227,6 +233,7 @@ def _fwd_kernel(
     K_idx: int,
     scan_impl: str,
     interpret: bool,
+    with_bias: bool = False,
 ):
     PIX = tw * th
     ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
@@ -296,7 +303,10 @@ def _fwd_kernel(
         data = buf[slot]
         gpos = astart + i * chunk + lane
         lane_ok = (gpos >= start) & (gpos < end)
-        alpha_eff, *_ = _chunk_alpha(data, px_x, px_y, lane_ok)
+        alpha_eff, *_ = _chunk_alpha(
+            data, px_x, px_y, lane_ok,
+            bias_row=(6 + C) if with_bias else None,
+        )
         one_m = 1.0 - alpha_eff
         log1m = jnp.log2(one_m)  # base-2 scan: exp2/log2 are the native ops
         # EXCLUSIVE transmittance prefix: w = alpha * T_before needs no
@@ -387,6 +397,7 @@ def _bwd_kernel(
     alpha_grad_mask: Tuple[float, ...],
     scan_impl: str,
     interpret: bool,
+    with_bias: bool = False,
 ):
     PIX = tw * th
     ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
@@ -500,7 +511,8 @@ def _bwd_kernel(
         gpos = astart + i * chunk + lane
         lane_ok = (gpos >= start) & (gpos < end)
         alpha_eff, gexp, vx, vy, ca, cb_, cc, op = _chunk_alpha(
-            data, px_x, px_y, lane_ok
+            data, px_x, px_y, lane_ok,
+            bias_row=(6 + C) if with_bias else None,
         )
         one_m = 1.0 - alpha_eff
         log1m = jnp.log2(one_m)
@@ -548,12 +560,18 @@ def _bwd_kernel(
             g, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-        grad = jnp.concatenate(
-            [duvx, duvy, dca, dcb, dcc, dop, dfeat, dabsx, dabsy], axis=0
-        )
-        if Dg > 8 + C:
+        rows = [duvx, duvy, dca, dcb, dcc, dop, dfeat, dabsx, dabsy]
+        used = 8 + C
+        if with_bias:
+            # d alpha / d bias = 1 (alpha = op*G + bias, clamp ignored as
+            # for dop): dbias accumulates dL/dalpha directly
+            # (`alpha_blending_with_bias.cu:259`)
+            rows.append(jnp.sum(dalpha_op, axis=0, keepdims=True))
+            used += 1
+        grad = jnp.concatenate(rows, axis=0)
+        if Dg > used:
             grad = jnp.concatenate(
-                [grad, jnp.zeros((Dg - (8 + C), chunk), jnp.float32)], axis=0
+                [grad, jnp.zeros((Dg - used, chunk), jnp.float32)], axis=0
             )
         emit_grad(grad, astart // chunk + i)
 
@@ -593,7 +611,7 @@ def _bwd_kernel(
 
 
 def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx,
-                      scan_impl, interpret):
+                      scan_impl, interpret, with_bias=False):
     if K_idx:
         (packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref, gsidx_ref,
          buf, sem, ibuf, isem, st, acc) = rest
@@ -606,7 +624,7 @@ def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx,
         edges_ref, packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref,
         gsidx_ref, buf, sem, ibuf, isem, st, acc,
         C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg, K_idx=K_idx,
-        scan_impl=scan_impl, interpret=interpret,
+        scan_impl=scan_impl, interpret=interpret, with_bias=with_bias,
     )
 
 
@@ -625,13 +643,16 @@ def _build_splat(
     tile_wh: Tuple[int, int],
     interpret: bool,
     scan_impl: str = "matmul",
+    with_bias: bool = False,
 ):
     """Construct the custom-vjp splat over (uv, conic, opacity, features,
     abs_sink) for one static configuration. Binning runs inside the fwd;
     the bwd reduces per-slot kernel gradients to per-Gaussian cotangents
-    with a sort + running-sum (deterministic, scatter-free)."""
-    D = packed_rows(C)
-    Dg = grad_rows(C)
+    with a sort + running-sum (deterministic, scatter-free). with_bias
+    adds a per-gaussian opacity-bias operand: alpha = min(.99, op*G + b)
+    (`alpha_blending_with_bias.cu`), with its own gradient row."""
+    D = packed_rows(C, with_bias)
+    Dg = grad_rows(C, with_bias)
     tw, th = tile_wh
     PIX = tw * th
     tgx = -(-W // tw)
@@ -656,12 +677,13 @@ def _build_splat(
     )
 
     def run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
-                    rect_min, rect_max, carry_prepos=False):
+                    rect_min, rect_max, carry_prepos=False, bias=None):
         # abs_sink values are NOT packed: they are all-zero gradient sinks
         # no kernel reads (their grads come from the bwd buffer's abs rows)
-        channels = jnp.concatenate(
-            [uv, conic, opacity[:, None], features], axis=1
-        )
+        cols = [uv, conic, opacity[:, None], features]
+        if bias is not None:
+            cols.append(bias[:, None])
+        channels = jnp.concatenate(cols, axis=1)
         # presort is off for K_idx renders: gs_idx must report ORIGINAL
         # gaussian ids, and remapping a [H,W,K] id image through perm would
         # cost more than the two-scatter layout saves. carry_prepos rides
@@ -673,6 +695,9 @@ def _build_splat(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             chunk=chunk, block=tile_wh, sort_mode=sort_mode,
             presort=(K_idx == 0), carry_prepos=carry_prepos,
+            # rects from the projection are grid-clamped, so the exact
+            # MXU coverage-matmul edges apply (binning._edges_matmul)
+            edges_mode="matmul",
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -694,6 +719,7 @@ def _build_splat(
         kernel = functools.partial(
             _fwd_kernel_entry, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th,
             bg=bg, K_idx=K_idx, scan_impl=scan_impl, interpret=interpret,
+            with_bias=with_bias,
         )
         outs = pl.pallas_call(
             kernel,
@@ -728,7 +754,7 @@ def _build_splat(
         kernel = functools.partial(
             _bwd_kernel, C=C, D=D, Dg=Dg, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg,
             alpha_grad_mask=alpha_grad_mask, scan_impl=scan_impl,
-            interpret=interpret,
+            interpret=interpret, with_bias=with_bias,
         )
         dgrad = pl.pallas_call(
             kernel,
@@ -777,7 +803,7 @@ def _build_splat(
         intersection count carry gid -1, which never equals a valid gid,
         so they cannot contaminate any run.
         """
-        nrows = 8 + C
+        nrows = 8 + C + (1 if with_bias else 0)
         M = max_intersections
         iota = jnp.arange(M, dtype=jnp.int32)
         inv = jnp.zeros((M,), jnp.int32).at[b.prepos].set(iota)
@@ -814,7 +840,45 @@ def _build_splat(
         dop = seg[:, 5]
         dfeat = seg[:, 6 : 6 + C]
         dabs = seg[:, 6 + C : 8 + C]
+        if with_bias:
+            return duv, dconic, dop, dfeat, dabs, seg[:, 8 + C]
         return duv, dconic, dop, dfeat, dabs
+
+    zi = lambda shape: np.zeros(shape, jax.dtypes.float0)
+
+    if with_bias:
+
+        @jax.custom_vjp
+        def splat_b(uv, conic, opacity, features, abs_sink, depth, tiles,
+                    rect_min, rect_max, bias):
+            b = run_binning(uv, conic, opacity, features, abs_sink, depth,
+                            tiles, rect_min, rect_max, bias=bias)
+            out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b)
+            return out, finalT, ncontrib, gs_idx, b.num_intersections
+
+        def splat_b_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,
+                        rect_min, rect_max, bias):
+            b = run_binning(uv, conic, opacity, features, abs_sink, depth,
+                            tiles, rect_min, rect_max, carry_prepos=True,
+                            bias=bias)
+            out, finalT, ncontrib, gs_idx, out_t, finalT_t = fwd_pallas(b)
+            res = (b, out_t, finalT_t, uv.shape[0])
+            return (out, finalT, ncontrib, gs_idx, b.num_intersections), res
+
+        def splat_b_bwd(res, cts):
+            b, out_t, finalT_t, N = res
+            dgrad = bwd_pallas(b, out_t, finalT_t, cts[0])
+            duv, dconic, dop, dfeat, dabs, dbias = reduce_to_gaussians(
+                dgrad, b, N
+            )
+            return (
+                duv, dconic, dop, dfeat, dabs,
+                jnp.zeros((N,), jnp.float32), zi((N,)),
+                zi((N, 2)), zi((N, 2)), dbias,
+            )
+
+        splat_b.defvjp(splat_b_fwd, splat_b_bwd)
+        return splat_b
 
     @jax.custom_vjp
     def splat(uv, conic, opacity, features, abs_sink, depth, tiles,
@@ -838,7 +902,6 @@ def _build_splat(
         gimg = cts[0]
         dgrad = bwd_pallas(b, out_t, finalT_t, gimg)
         duv, dconic, dop, dfeat, dabs = reduce_to_gaussians(dgrad, b, N)
-        zi = lambda shape, dt=jnp.int32: np.zeros(shape, jax.dtypes.float0)
         return (
             duv,
             dconic,
@@ -879,12 +942,15 @@ def splat_scene(
     block: Tuple[int, int] = DEFAULT_TILE,
     interpret: Optional[bool] = None,
     scan_impl: str = "matmul",
+    opacity_bias: Optional[jnp.ndarray] = None,
 ):
     """Differentiable bin+sort+blend of pre-projected Gaussians.
 
     Returns (image [H,W,C], final_T, ncontrib, gs_idx|None, num_intersections).
     `bg` is per-channel; `alpha_grad_mask` marks channels whose gradient
     reaches opacity (0 = the reference's `opacity.detach()` channels).
+    `opacity_bias` [N] engages the `alpha_blending_with_bias` variant:
+    alpha = min(.99, op*G + bias), with a dL/dbias cotangent.
 
     CALLER CONTRACT: rects must respect `max_tiles_per_gaussian` — clamp the
     EWA radius with `projection.max_radius_for_tile_cap` (as
@@ -903,6 +969,10 @@ def splat_scene(
         tuple(float(x) for x in alpha_grad_mask), K_idx, chunk,
         max_intersections, max_tiles_per_gaussian, sort_mode,
         tuple(block), interpret, scan_impl,
+        with_bias=opacity_bias is not None,
     )
+    if opacity_bias is not None:
+        return fn(uv, conic, opacity, features, abs_sink, depth, tiles,
+                  rect_min, rect_max, opacity_bias)
     return fn(uv, conic, opacity, features, abs_sink, depth, tiles,
               rect_min, rect_max)

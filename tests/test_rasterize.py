@@ -110,6 +110,43 @@ class TestBinning:
         np.testing.assert_array_equal(np.diff(cb), expected)
 
 
+    def test_edges_matmul_parity(self):
+        """edges_mode="matmul" (MXU coverage counts) == "search" on the
+        full Binning output, including tile-cap clamping (partial rows)."""
+        key = jax.random.PRNGKey(3)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        channels = jnp.concatenate(
+            [uv, conic, opacity[:, None], feats, jnp.zeros((uv.shape[0], 2))],
+            axis=1,
+        )
+        for presort in (False, True):
+            for cap in (64, 4):  # 4 forces partial-row clamping
+                a = binning.bin_sort_pack(
+                    depth, tiles, rmin, rmax, channels, W, H,
+                    max_intersections=1 << 14, presort=presort,
+                    max_tiles_per_gaussian=cap, edges_mode="search",
+                )
+                b = binning.bin_sort_pack(
+                    depth, tiles, rmin, rmax, channels, W, H,
+                    max_intersections=1 << 14, presort=presort,
+                    max_tiles_per_gaussian=cap, edges_mode="matmul",
+                )
+                tag = f"presort={presort} cap={cap}"
+                np.testing.assert_array_equal(
+                    np.asarray(a.edges), np.asarray(b.edges), err_msg=tag
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(a.chunk_base), np.asarray(b.chunk_base), err_msg=tag
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(a.gid), np.asarray(b.gid), err_msg=tag
+                )
+                np.testing.assert_allclose(
+                    np.asarray(a.packed), np.asarray(b.packed), err_msg=tag
+                )
+
+
 class TestSplatParity:
     @pytest.mark.parametrize("seed", [0, 1, 2])
     def test_forward_matches_oracle(self, seed):
@@ -348,6 +385,61 @@ class TestWithBias:
 
         g = np.asarray(jax.grad(loss)(jnp.zeros((30,))))
         assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+
+    def test_device_path_matches_oracle(self):
+        """The Pallas with-bias path == the sequential oracle (fwd) and its
+        gradients, including dL/dbias, match the oracle autodiff."""
+        key = jax.random.PRNGKey(23)
+        n = 40
+        xyz, scale, quat, opacity, feats = make_scene(key, n=n, opacity_max=0.6)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+        bias = jax.random.uniform(jax.random.PRNGKey(7), (n,), minval=0.0,
+                                  maxval=0.25)
+
+        img, finalT, _, _, _ = rasterize_tpu.splat_scene(
+            uv, conic, opacity, feats, jnp.zeros((n, 2)), depth, tiles,
+            rmin, rmax, C=3, W=W, H=H, bg=(0.0, 0.0, 0.0),
+            max_intersections=1 << 14, sort_mode="exact",
+            opacity_bias=bias,
+        )
+        ref = rasterize_ref.splat_reference_with_bias(
+            uv, conic, opacity, feats, depth, radius, rmin, rmax, W, H,
+            bg=jnp.zeros((3,)), opacity_bias=bias,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref.image), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(finalT), np.asarray(ref.final_T), atol=2e-5
+        )
+
+        def loss_dev(params):
+            op, fe, bi = params
+            out, *_ = rasterize_tpu.splat_scene(
+                uv, conic, op, fe, jnp.zeros((n, 2)), depth, tiles,
+                rmin, rmax, C=3, W=W, H=H, bg=(0.0, 0.0, 0.0),
+                max_intersections=1 << 14, sort_mode="exact",
+                opacity_bias=bi,
+            )
+            return jnp.sum(out**2)
+
+        def loss_ref(params):
+            op, fe, bi = params
+            out = rasterize_ref.splat_reference_with_bias(
+                uv, conic, op, fe, depth, radius, rmin, rmax, W, H,
+                bg=jnp.zeros((3,)), opacity_bias=bi,
+            )
+            return jnp.sum(out.image**2)
+
+        gd = jax.grad(loss_dev)((opacity, feats, bias))
+        gr = jax.grad(loss_ref)((opacity, feats, bias))
+        for a, b, name in zip(gd, gr, ["opacity", "feats", "bias"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=3e-3,
+                err_msg=f"bias-path grad mismatch: {name}",
+            )
+        assert np.abs(np.asarray(gd[2])).sum() > 0  # dbias is live
 
 
 class TestRadiusClamp:

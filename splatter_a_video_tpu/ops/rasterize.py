@@ -53,6 +53,10 @@ class RasterizeConfig:
     #                                 parity rect; see projection._finish_cov2d)
     scan_impl: str = "matmul"       # in-kernel transmittance scan: "matmul"
     #                                 (MXU triangular) | "roll" (VPU lane shifts)
+    edges_mode: str = "search"      # per-tile range derivation: "search"
+    #                                 (binary search on the sorted stream) |
+    #                                 "matmul" (MXU coverage counts; render-
+    #                                 only win, regresses the train step)
     interpret: Optional[bool] = None
 
 
@@ -120,6 +124,7 @@ def rasterize(
         block=cfg.block,
         interpret=cfg.interpret,
         scan_impl=cfg.scan_impl,
+        edges_mode=cfg.edges_mode,
     )
 
     out: Dict[str, jnp.ndarray] = {}

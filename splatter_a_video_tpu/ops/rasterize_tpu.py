@@ -644,6 +644,7 @@ def _build_splat(
     interpret: bool,
     scan_impl: str = "matmul",
     with_bias: bool = False,
+    edges_mode: str = "search",
 ):
     """Construct the custom-vjp splat over (uv, conic, opacity, features,
     abs_sink) for one static configuration. Binning runs inside the fwd;
@@ -696,8 +697,9 @@ def _build_splat(
             chunk=chunk, block=tile_wh, sort_mode=sort_mode,
             presort=(K_idx == 0), carry_prepos=carry_prepos,
             # rects from the projection are grid-clamped, so the exact
-            # MXU coverage-matmul edges apply (binning._edges_matmul)
-            edges_mode="matmul",
+            # MXU coverage-matmul edges are valid whenever requested
+            # (binning._edges_matmul); the caller picks the mode per path
+            edges_mode=edges_mode,
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -943,6 +945,7 @@ def splat_scene(
     interpret: Optional[bool] = None,
     scan_impl: str = "matmul",
     opacity_bias: Optional[jnp.ndarray] = None,
+    edges_mode: str = "search",
 ):
     """Differentiable bin+sort+blend of pre-projected Gaussians.
 
@@ -970,6 +973,7 @@ def splat_scene(
         max_intersections, max_tiles_per_gaussian, sort_mode,
         tuple(block), interpret, scan_impl,
         with_bias=opacity_bias is not None,
+        edges_mode=edges_mode,
     )
     if opacity_bias is not None:
         return fn(uv, conic, opacity, features, abs_sink, depth, tiles,

@@ -50,7 +50,7 @@ class SceneConfig:
     capacity: int
     num_frames: int
     max_sh_degree: int = 3
-    traj: str = "poly_fourier"  # or "cubic_spline"
+    traj: str = "poly_fourier"  # or "cubic_spline" / "static"
     poly_dim: int = _traj.POLY_DIM
     fourier_dim: int = _traj.FOURIER_DIM
     frames_per_knot: int = 5
@@ -112,6 +112,8 @@ class GaussianScene:
         )
 
     def get_position(self, t, detach_pos: bool = False) -> jnp.ndarray:
+        if self.cfg.traj == "static":
+            return self.params["position"]
         tn = self.cfg.t_norm(t)
         if self.cfg.traj == "cubic_spline":
             return _traj.position_cubic_spline(
@@ -131,6 +133,8 @@ class GaussianScene:
 
     def get_rotation(self, t) -> jnp.ndarray:
         """Unnormalized quaternion at time t (renderer normalizes)."""
+        if self.cfg.traj == "static":
+            return self.params["rotation"]
         return _traj.rotation_poly_fourier(
             self.params["rotation"],
             self.params["rot_poly_feat"],
@@ -204,11 +208,14 @@ def create_scene(
         "scaling": jnp.asarray(scaling),
         "rotation": jnp.asarray(rotation),
         "opacity": jnp.asarray(opacity),
-        "pos_poly_feat": jnp.zeros((cap, cfg.poly_dim, 3)),
-        "pos_fourier_feat": jnp.zeros((cap, cfg.fourier_dim, 3)),
-        "rot_poly_feat": jnp.zeros((cap, cfg.poly_dim, 4)),
-        "rot_fourier_feat": jnp.zeros((cap, cfg.fourier_dim, 4)),
     }
+    if cfg.traj != "static":
+        params.update(
+            pos_poly_feat=jnp.zeros((cap, cfg.poly_dim, 3)),
+            pos_fourier_feat=jnp.zeros((cap, cfg.fourier_dim, 3)),
+            rot_poly_feat=jnp.zeros((cap, cfg.poly_dim, 4)),
+            rot_fourier_feat=jnp.zeros((cap, cfg.fourier_dim, 4)),
+        )
     for name, dim in cfg.render_attributes:
         if name in ("pos_poly_feat", "pos_fourier_feat", "rot_poly_feat", "rot_fourier_feat"):
             continue  # motion coeffs double as render attributes (`:114-116`)

@@ -88,18 +88,34 @@ def disp_to_uint16(disp: np.ndarray) -> np.ndarray:
 
 
 def compute_monodepth(img_dir: str, out_dir: str, model: str = "depth-anything-v2"):
-    """Monocular disparity inference (`compute_depth.py:59-88`): requires
-    the pretrained Depth-Anything weights — unavailable offline."""
-    try:
-        from transformers import pipeline  # noqa: F401
+    """Monocular disparity inference (`compute_depth.py:59-88`) through the
+    pure-JAX Depth-Anything port (`nets/depth_anything.py`). Runs when a
+    converted checkpoint is present (`$SPLAT_DEPTH_ANYTHING_WEIGHTS` or
+    `weights/depth_anything.npz`); weights are not downloadable offline.
+    Writes `<name>.png` uint16 disparity per frame; returns frames written."""
+    from ..nets import depth_anything as _da
 
+    net = _da.get_model()
+    if net is None:
         raise NotImplementedError(
             "Depth-Anything weights are not available in this offline "
-            "environment; generate the layout with data/synthetic.py or "
-            "run the HF pipeline where weights are downloadable."
+            "environment; convert a checkpoint with "
+            "nets.depth_anything.params_from_torch/save_params, or generate "
+            "the layout hermetically with data/synthetic.py."
         )
-    except ImportError as e:
-        raise RuntimeError(f"transformers unavailable: {e}") from e
+    import imageio.v2 as iio
+
+    img_files = sorted(glob(osp.join(img_dir, "*.jpg"))) + sorted(
+        glob(osp.join(img_dir, "*.png"))
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for f in img_files:
+        disp = _da.infer_disparity(net, iio.imread(f)[..., :3])
+        out = osp.join(out_dir, osp.splitext(osp.basename(f))[0] + ".png")
+        iio.imwrite(out, disp_to_uint16(disp))
+        n += 1
+    return n
 
 
 def compute_tracks(img_dir: str, mask_dir: str, out_dir: str, grid_size: int = 4):

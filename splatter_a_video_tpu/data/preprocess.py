@@ -118,12 +118,81 @@ def compute_monodepth(img_dir: str, out_dir: str, model: str = "depth-anything-v
     return n
 
 
-def compute_tracks(img_dir: str, mask_dir: str, out_dir: str, grid_size: int = 4):
-    """Dense TAPIR tracking (`compute_tracks_torch.py:101-166`): requires
-    the BootsTAPIR checkpoint — unavailable offline. The consumed format
-    is per-pair `{q}_{t}.npy [N, 4] = (x, y, occ_logit, expected_dist)`
-    (parsed by `data/video_flow.py: parse_tapir_track_info`)."""
-    raise NotImplementedError(
-        "BootsTAPIR checkpoint not available offline; data/synthetic.py "
-        "emits the same {q}_{t}.npy layout for hermetic runs."
+def compute_tracks(
+    img_dir: str,
+    mask_dir: str,
+    out_dir: str,
+    grid_size: int = 4,
+    resize: Tuple[int, int] = (256, 256),
+    query_chunk: int = 128,
+) -> int:
+    """Dense TAPIR tracking (`compute_tracks_torch.py:101-166`) through the
+    pure-JAX port (`nets/tapir.py`). Runs when a converted BootsTAPIR
+    checkpoint is present (`$SPLAT_TAPIR_WEIGHTS` or `weights/tapir.npz`);
+    the checkpoint is not downloadable offline — without it this stays
+    gated and `data/synthetic.py` emits the same layout hermetically.
+
+    Per query frame q, every grid point (stride `grid_size`) inside the
+    mask is tracked through all frames; per-pair `{q}_{t}.npy [N, 4] =
+    (x, y, occ_logit, expected_dist)` files are written with the
+    query-frame coords snapped to the original grid. Returns files written.
+    Deviation (documented): frames are resized to the inference resolution
+    with torch-bilinear rather than mediapy's PIL resize.
+    """
+    from ..nets import tapir as _tapir
+    from ..nets.interp import interp2d
+
+    net = _tapir.get_model()
+    if net is None:
+        raise NotImplementedError(
+            "BootsTAPIR checkpoint not available offline; convert one with "
+            "scripts/convert_tapir.py, or use data/synthetic.py which emits "
+            "the same {q}_{t}.npy layout hermetically."
+        )
+    import imageio.v2 as iio
+
+    frame_paths = sorted(glob(osp.join(img_dir, "*")))
+    names = [osp.splitext(osp.basename(f))[0] for f in frame_paths]
+    video = np.stack([iio.imread(f)[..., :3] for f in frame_paths])
+    T, height, width = video.shape[:3]
+    mask_paths = sorted(glob(osp.join(mask_dir, "*")))
+    masks = np.stack(
+        [np.atleast_3d(iio.imread(f))[..., 0] > 0 for f in mask_paths]
     )
+
+    rh, rw = resize
+    video_r = np.asarray(
+        interp2d(video.astype(np.float32), rh, rw, "bilinear", False)
+    ).astype(np.uint8)
+
+    y, x = np.mgrid[0:height:grid_size, 0:width:grid_size]
+    y_r = y / (height - 1) * (rh - 1)
+    x_r = x / (width - 1) * (rw - 1)
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = 0
+    for t in range(T):
+        if len(glob(f"{out_dir}/{names[t]}_*.npy")) == T:
+            continue
+        in_mask = masks[t][y, x]
+        qp = np.stack(
+            [t * np.ones_like(y)[in_mask], y_r[in_mask], x_r[in_mask]], axis=-1
+        )
+        if len(qp):
+            res = _tapir.track_points(net, video_r, qp, chunk=query_chunk)
+            # back to the original raster (compute_tracks_torch.py:148-150)
+            tracks = res["tracks"] * np.array(
+                [(width - 1) / (rw - 1), (height - 1) / (rh - 1)]
+            )
+            out = np.concatenate(
+                [tracks, res["occlusion"][..., None],
+                 res["expected_dist"][..., None]], axis=-1
+            ).astype(np.float32)
+        else:
+            out = np.zeros((0, T, 4), np.float32)
+        for j in range(T):
+            if j == t and len(qp):
+                out[:, j, :2] = np.stack([x[in_mask], y[in_mask]], axis=-1)
+            np.save(f"{out_dir}/{names[t]}_{names[j]}.npy", out[:, j])
+            written += 1
+    return written

@@ -18,10 +18,11 @@ Expected output layout (consumed by `data/video_flow.py`, reference
 
 from __future__ import annotations
 
+import json
 import os
 import os.path as osp
 from glob import glob
-from typing import Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -49,6 +50,83 @@ def align_disparity(
     min_thre = min(1e-6, float(np.quantile(aligned, 0.01)))
     aligned = np.where(aligned < min_thre, 0.0, aligned)
     return aligned, scale, shift
+
+
+# A metric-depth backend: (rgb[H,W,3] uint8, intrinsics[3,3]|None) ->
+# {"depth": [H,W] meters, "intrinsics": [3,3]}.
+MetricDepthModel = Callable[[np.ndarray, Optional[np.ndarray]], Dict[str, np.ndarray]]
+
+
+def _unidepth_backend() -> Optional[MetricDepthModel]:
+    """The reference's backend (`compute_metric_depth.py:16,33`): UniDepth V2,
+    an *external* repo even there (`sys.path.append(UNIDEPTH_PATH)`), never
+    vendored. Available only if a `unidepth` install is importable here."""
+    try:
+        import torch
+        from unidepth.models import UniDepthV2  # type: ignore
+    except Exception:
+        return None
+    model = UniDepthV2.from_pretrained("lpiccinelli/unidepth-v2-vitl14").eval()
+
+    def run(rgb: np.ndarray, intrinsics: Optional[np.ndarray]):
+        # `compute_metric_depth.py:62-70`
+        rgb_t = torch.from_numpy(rgb).permute(2, 0, 1)
+        intr_t = None if intrinsics is None else torch.from_numpy(intrinsics)
+        pred = model.infer(rgb_t, intr_t)
+        return {k: v.squeeze().cpu().numpy() for k, v in pred.items()}
+
+    return run
+
+
+def compute_metric_depth(
+    img_dir: str,
+    depth_dir: str,
+    intrins_file: str,
+    model: Optional[MetricDepthModel] = None,
+) -> int:
+    """Metric-depth inference driver (`compute_metric_depth.py:18-59`):
+    per frame, write disparity `1/clip(depth, 1e-6, 1e6)` to
+    `depth_dir/<name>.npy` and collect per-frame pinhole intrinsics
+    `(fx, fy, cx, cy)` into one `intrins_file` json. Skips entirely when
+    the output is already complete (returns 0). `model` defaults to the
+    external UniDepth V2 backend, gated when not installed."""
+    import imageio.v2 as iio
+
+    img_files = sorted(os.listdir(img_dir))
+    if not intrins_file.endswith(".json"):
+        intrins_file = f"{intrins_file}.json"
+    os.makedirs(depth_dir, exist_ok=True)
+    parent = osp.dirname(intrins_file)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    if len(os.listdir(depth_dir)) == len(img_files) and osp.isfile(intrins_file):
+        return 0
+
+    if model is None:
+        model = _unidepth_backend()
+    if model is None:
+        raise NotImplementedError(
+            "UniDepth is an external dependency (the reference imports it "
+            "from a local clone, compute_metric_depth.py:10-16) and is not "
+            "installed here; pass `model=` or generate the layout "
+            "hermetically with data/synthetic.py."
+        )
+
+    intrins_dict = {}
+    n = 0
+    for img_file in img_files:
+        img_name = osp.splitext(img_file)[0]
+        pred = model(iio.imread(osp.join(img_dir, img_file))[..., :3], None)
+        disp = 1.0 / np.clip(pred["depth"], a_min=1e-6, a_max=1e6)
+        np.save(osp.join(depth_dir, img_name + ".npy"), disp.squeeze())
+        K = pred["intrinsics"]
+        intrins_dict[img_name] = (
+            float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2])
+        )
+        n += 1
+    with open(intrins_file, "w") as f:
+        json.dump(intrins_dict, f, indent=1)
+    return n
 
 
 def align_monodepth_with_metric_depth(

@@ -48,6 +48,67 @@ class TestAlignDisparity:
         assert abs(ls_scale - 2.0) > abs(scale - 2.0)
 
 
+class TestComputeMetricDepth:
+    def _write_imgs(self, img_dir, n=3, h=8, w=10):
+        import imageio.v2 as iio
+
+        os.makedirs(img_dir, exist_ok=True)
+        rng = np.random.RandomState(4)
+        for t in range(n):
+            iio.imwrite(
+                os.path.join(img_dir, f"{t:05d}.png"),
+                (rng.rand(h, w, 3) * 255).astype(np.uint8),
+            )
+
+    @staticmethod
+    def _fake_model(rgb, intrinsics):
+        h, w = rgb.shape[:2]
+        depth = 1.0 + rgb[..., 0].astype(np.float64) / 255.0
+        K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1.0]])
+        return {"depth": depth, "intrinsics": K}
+
+    def test_driver_writes_disparity_and_intrinsics(self, tmp_path):
+        import json
+
+        from splatter_a_video_tpu.data.preprocess import compute_metric_depth
+
+        img_dir = tmp_path / "images"
+        self._write_imgs(str(img_dir))
+        depth_dir = tmp_path / "unidepth_disp"
+        intr = tmp_path / "unidepth_intrins"  # .json appended by the driver
+        n = compute_metric_depth(
+            str(img_dir), str(depth_dir), str(intr), model=self._fake_model
+        )
+        assert n == 3
+        import imageio.v2 as iio
+
+        rgb0 = iio.imread(img_dir / "00000.png")
+        disp0 = np.load(depth_dir / "00000.npy")
+        np.testing.assert_allclose(
+            disp0, 1.0 / (1.0 + rgb0[..., 0] / 255.0), rtol=1e-6
+        )
+        with open(str(intr) + ".json") as f:
+            d = json.load(f)
+        assert set(d) == {"00000", "00001", "00002"}
+        assert d["00000"] == [10.0, 10.0, 5.0, 4.0]  # (fx, fy, cx, cy)
+        # complete output short-circuits (compute_metric_depth.py:25-29)
+        assert compute_metric_depth(
+            str(img_dir), str(depth_dir), str(intr), model=self._fake_model
+        ) == 0
+
+    def test_gated_without_backend(self, tmp_path):
+        import pytest
+
+        from splatter_a_video_tpu.data.preprocess import compute_metric_depth
+
+        img_dir = tmp_path / "images"
+        self._write_imgs(str(img_dir), n=1)
+        with pytest.raises(NotImplementedError):
+            compute_metric_depth(
+                str(img_dir), str(tmp_path / "d"), str(tmp_path / "i")
+            )
+
+
 class TestDirectoryDriver:
     def test_align_dir_roundtrip_and_skip(self, tmp_path):
         import imageio.v2 as iio

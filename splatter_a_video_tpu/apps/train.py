@@ -46,6 +46,10 @@ def main(argv=None):
             depth_dir=os.path.join(base, "aligned_depth_anything_v2"),
             mask_dir=os.path.join(base, "masks"),
             tracks_dir=os.path.join(base, "bootstapir"),
+            # depth-loss GT: raw Marigold depths when present (the
+            # reference's production choice, trainer_fragGS.py:285-289);
+            # falls back to the lifting depth otherwise
+            loss_depth_dir=os.path.join(base, "marigold", "depth_npy"),
             end=args.num_imgs,
         ).setup()
 

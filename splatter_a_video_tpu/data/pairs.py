@@ -125,7 +125,7 @@ class BatchBuilder:
             t1=np.int32(t1),
             t2=np.int32(t2),
             rgb1=self.data.frames[t1].astype(np.float32),
-            depth1=self.data.get_depth(t1).astype(np.float32),
+            depth1=self.data.get_loss_depth(t1).astype(np.float32),
             query_px=qp.astype(np.float32),
             target_tracks=tt.astype(np.float32),
             track_valid=valid,

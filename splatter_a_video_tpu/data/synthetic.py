@@ -129,6 +129,7 @@ def dump_clip_to_disk(data: VideoFlowData, base_dir: str) -> str:
       images/{name}.png                     uint8 frames
       masks/{name}.png                      255 = fg
       aligned_depth_anything_v2/{name}.npy  float disparity (1/depth)
+      marigold/depth_npy/{name}_pred.npy    raw depth-loss GT ([0,1] scaled)
       bootstapir/{q}_{t}.npy                [N, 4] TAPIR tracks
 
     so the CLI path `apps.train --datadir ...` can be exercised
@@ -139,8 +140,12 @@ def dump_clip_to_disk(data: VideoFlowData, base_dir: str) -> str:
     import imageio.v2 as imageio
 
     names = data.frame_names or [f"{i:05d}" for i in range(len(data.frames))]
-    for sub in ("images", "masks", "aligned_depth_anything_v2", "bootstapir"):
+    for sub in (
+        "images", "masks", "aligned_depth_anything_v2", "bootstapir",
+        os.path.join("marigold", "depth_npy"),
+    ):
         os.makedirs(os.path.join(base_dir, sub), exist_ok=True)
+    dmax = max(float(np.max(d)) for d in data.depths_raw) or 1.0
     for i, name in enumerate(names):
         imageio.imwrite(
             os.path.join(base_dir, "images", f"{name}.png"),
@@ -153,6 +158,10 @@ def dump_clip_to_disk(data: VideoFlowData, base_dir: str) -> str:
         np.save(
             os.path.join(base_dir, "aligned_depth_anything_v2", f"{name}.npy"),
             (1.0 / np.maximum(np.asarray(data.depths_raw[i], np.float32), 1e-6)),
+        )
+        np.save(
+            os.path.join(base_dir, "marigold", "depth_npy", f"{name}_pred.npy"),
+            np.asarray(data.depths_raw[i], np.float32) / dmax,
         )
     for (q, t), arr in (data.tracks or {}).items():
         np.save(

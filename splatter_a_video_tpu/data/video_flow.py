@@ -87,6 +87,12 @@ class VideoFlowData:
     depth_dir: Optional[str] = None
     mask_dir: Optional[str] = None
     tracks_dir: Optional[str] = None
+    # separate depth-LOSS ground truth (the reference trains the depth loss
+    # on raw Marigold depths while lifting uses aligned Depth-Anything,
+    # `trainer_fragGS.py:285-289` vs `:302`): directory of `<name>*.npy`
+    # loaded RAW (no inversion / filter / renorm). None = fall back to the
+    # lifting depth (`get_depth`).
+    loss_depth_dir: Optional[str] = None
     start: int = 0
     end: int = -1
     mask_erosion_radius: int = 3
@@ -96,6 +102,7 @@ class VideoFlowData:
     frames: Optional[List[np.ndarray]] = None       # [H,W,3] float in [0,1]
     depths_raw: Optional[List[np.ndarray]] = None   # pre-filter depth [H,W]
     masks_raw: Optional[List[np.ndarray]] = None    # bool fg masks [H,W]
+    loss_depths: Optional[List[np.ndarray]] = None  # raw loss-GT depth [H,W]
     tracks: Optional[Dict[Tuple[int, int], np.ndarray]] = None
     frame_names: Optional[List[str]] = None
 
@@ -116,6 +123,10 @@ class VideoFlowData:
             ]
             self.depths_raw = [self._load_depth(n) for n in self.frame_names]
             self.masks_raw = [self._load_mask(n) for n in self.frame_names]
+            if self.loss_depth_dir and os.path.isdir(self.loss_depth_dir):
+                self.loss_depths = [
+                    self._load_loss_depth(n) for n in self.frame_names
+                ]
         elif self.frame_names is None:
             self.frame_names = [f"{i:05d}" for i in range(len(self.frames))]
 
@@ -144,6 +155,18 @@ class VideoFlowData:
         disp = np.load(f"{self.depth_dir}/{name}.npy")
         depth = 1.0 / np.clip(disp, 1e-6, 1e6)
         return median_filter(depth.astype(np.float32), size=11)
+
+    def _load_loss_depth(self, name: str) -> np.ndarray:
+        """Raw depth-loss GT npy (Marigold convention `<name>_pred.npy`, or
+        plain `<name>.npy`) — loaded untouched like the reference's
+        `gt_depths` (`trainer_fragGS.py:286-289`)."""
+        for f in (f"{name}_pred.npy", f"{name}.npy"):
+            p = os.path.join(self.loss_depth_dir, f)
+            if os.path.isfile(p):
+                return np.load(p).astype(np.float32)
+        raise FileNotFoundError(
+            f"no loss-depth npy for frame {name} in {self.loss_depth_dir}"
+        )
 
     def _load_mask(self, name: str) -> np.ndarray:
         import imageio.v2 as imageio
@@ -174,6 +197,14 @@ class VideoFlowData:
         return (d - self.depths_min) / span * (
             self.depth_range_max - self.depth_range_min
         ) + self.depth_range_min
+
+    def get_loss_depth(self, i: int) -> np.ndarray:
+        """Depth-loss ground truth: raw Marigold-style depth when a
+        `loss_depth_dir` is present, else the renormalized lifting depth
+        (the loss is median/MAD-normalized, so either scale works)."""
+        if self.loss_depths is not None:
+            return self.loss_depths[i]
+        return self.get_depth(i)
 
     def get_mask(self, i: int) -> np.ndarray:
         return self._trinary_masks[i]

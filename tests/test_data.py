@@ -28,6 +28,32 @@ class TestSynthetic:
         assert vals <= {-1.0, 0.0, 1.0}
         assert (m == 1).sum() > 0 and (m == -1).sum() > 0
 
+    def test_marigold_loss_depth(self, clip, tmp_path):
+        """The depth LOSS trains on raw Marigold depths when the layout has
+        them (reference `trainer_fragGS.py:285-289`: marigold/depth_npy for
+        gt_depths, aligned_depth_anything_v2 for lifting); the lifting depth
+        is the fallback."""
+        base = synthetic.dump_clip_to_disk(clip, str(tmp_path / "seq"))
+        import os
+
+        data = video_flow.VideoFlowData(
+            img_dir=os.path.join(base, "images"),
+            depth_dir=os.path.join(base, "aligned_depth_anything_v2"),
+            mask_dir=os.path.join(base, "masks"),
+            tracks_dir=os.path.join(base, "bootstapir"),
+            loss_depth_dir=os.path.join(base, "marigold", "depth_npy"),
+        ).setup()
+        raw = np.load(os.path.join(base, "marigold", "depth_npy",
+                                   "00000_pred.npy"))
+        np.testing.assert_array_equal(data.get_loss_depth(0), raw)
+        # NOT the renormalized lifting depth
+        assert np.abs(data.get_loss_depth(0) - data.get_depth(0)).max() > 1e-3
+        # the batch builder feeds it as depth1
+        b = pairs.BatchBuilder(data, num_track_samples=8).build(0, 1)
+        np.testing.assert_array_equal(b.depth1, raw)
+        # fallback: in-memory clip (no loss_depth_dir) uses the lifting depth
+        np.testing.assert_array_equal(clip.get_loss_depth(0), clip.get_depth(0))
+
     def test_tracks_consistent(self, clip):
         """Track of a query point at the query frame is the point itself."""
         tr = clip.load_target_tracks(3, [3])[:, 0]

@@ -1,6 +1,7 @@
 """Multi-atlas (FragModel-equivalent) training: concat render, per-atlas
 optimizers, per-atlas density control."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def _setup():
     return model, tcfg, cam, batch
 
 
+@pytest.mark.slow
 class TestAtlasTrainer:
     def test_mixed_trajectory_atlases_train(self):
         model, tcfg, cam, batch = _setup()

@@ -119,6 +119,7 @@ def _small_cfg(**kw):
 
 
 class TestEngine:
+    @pytest.mark.slow
     def test_fit_recovers_scene(self, dataset, tmp_path):
         train_frames, val_frames = dataset
         eng = engine_lib.Engine(
@@ -208,6 +209,7 @@ class TestEngine:
 
 
 class TestEngineFromDataset:
+    @pytest.mark.slow
     def test_nerf_synthetic_composition(self, tmp_path):
         """engine_from_dataset over a NeRF-synthetic layout on disk."""
         from test_readers import TestNerfSynthetic

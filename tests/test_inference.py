@@ -96,6 +96,7 @@ class TestTracking:
 
 
 class TestEditing:
+    @pytest.mark.slow
     def test_select_and_optimize(self, scene, cam, rcfg):
         mask = np.zeros((H, W), np.float32)
         mask[10:25, 10:30] = 1.0

@@ -25,6 +25,7 @@ def _scene(N=2048, W=128, H=96, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 class TestShardedRender:
     def test_matches_single_chip(self):
         W, H = 128, 96
@@ -87,6 +88,7 @@ class TestShardedRender:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestDataParallelStep:
+    @pytest.mark.slow
     def test_dp_step_runs_and_reduces(self):
         W, H, T = 96, 64, 8
         rng = np.random.RandomState(0)

@@ -387,6 +387,7 @@ class TestWithBias:
         assert np.isfinite(g).all() and np.abs(g).sum() > 0
 
 
+    @pytest.mark.slow
     def test_device_path_matches_oracle(self):
         """The Pallas with-bias path == the sequential oracle (fwd) and its
         gradients, including dL/dbias, match the oracle autodiff."""
@@ -475,6 +476,7 @@ class TestRadiusClamp:
         assert abs(left - right) < 0.2, (left, right)
 
 
+@pytest.mark.slow
 class TestEqualDepthDeterminism:
     """All-equal depths (a 2D-fitting scene, examples/gs_2d.py) must blend
     in gaussian-index order — the reference's stable radix-sort tie

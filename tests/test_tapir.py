@@ -79,6 +79,7 @@ class TestSubmodules:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_full_forward_parity(self, tiny):
         """Full tracking pass on a 6-frame 32x32 video, queries on several
         frames: tracks / occlusion / expected_dist must match torch."""
@@ -133,6 +134,7 @@ class TestEndToEnd:
 
 
 class TestDriver:
+    @pytest.mark.slow
     def test_track_points_chunked(self, tiny):
         _, _, cfg, params = tiny
         import jax.numpy as jnp
@@ -161,6 +163,7 @@ class TestDriver:
         assert m is not None and m.pretrained
         assert set(m.params.keys()) == set(params.keys())
 
+    @pytest.mark.slow
     def test_compute_tracks_wired(self, tmp_path, monkeypatch):
         """The preprocessing stage runs through the JAX net when a
         converted checkpoint is present, writing the {q}_{t}.npy layout

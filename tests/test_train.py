@@ -67,6 +67,7 @@ def make_batch(rng, target):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_step_runs_and_loss_finite(self):
         scene = make_scene()
         cfg = tcfg()
@@ -86,6 +87,7 @@ class TestTrainStep:
             np.asarray(scene.params["opacity"]),
         )
 
+    @pytest.mark.slow
     def test_fit_improves_psnr(self):
         """Photometric-only fit: PSNR must improve over 30 steps."""
         scene = make_scene(n=220, key=1)

@@ -143,3 +143,47 @@ class TestDirectoryDriver:
         assert align_monodepth_with_metric_depth(
             str(metric_dir), str(mono_dir), str(out_dir)
         ) == 0
+
+
+class TestPreprocessCLI:
+    def test_stages_skip_gracefully_and_align_runs(self, tmp_path, capsys):
+        """The CLI mirrors the reference's three data-prep scripts: gated
+        network stages skip with a message; the pure-math align stage runs
+        when its inputs exist."""
+        import imageio.v2 as iio
+
+        from splatter_a_video_tpu.apps import preprocess as cli
+        from splatter_a_video_tpu.data.preprocess import disp_to_uint16
+
+        base = tmp_path / "seq"
+        rng = np.random.RandomState(7)
+        os.makedirs(base / "images")
+        os.makedirs(base / "masks")
+        os.makedirs(base / "unidepth_disp")
+        os.makedirs(base / "depth_anything")
+        for t in range(2):
+            iio.imwrite(base / "images" / f"{t:05d}.png",
+                        (rng.rand(8, 10, 3) * 255).astype(np.uint8))
+            iio.imwrite(base / "masks" / f"{t:05d}.png",
+                        (rng.rand(8, 10) > 0.5).astype(np.uint8) * 255)
+            metric = rng.rand(8, 10).astype(np.float32) + 0.5
+            np.save(base / "unidepth_disp" / f"{t:05d}.npy", metric)
+            iio.imwrite(base / "depth_anything" / f"{t:05d}.png",
+                        disp_to_uint16((metric - 0.1) / 2.0))
+        cli.main(["--datadir", str(tmp_path), "--seq_name", "seq",
+                  "--stages", "all"])
+        out = capsys.readouterr().out
+        assert "metric: SKIPPED" in out       # no unidepth install
+        assert "monodepth: SKIPPED" in out    # no converted weights
+        assert "align: ok (2 files)" in out
+        assert "tracks: SKIPPED" in out       # no converted weights
+        a = np.load(base / "aligned_depth_anything_v2" / "00000.npy")
+        assert a.shape == (8, 10)
+
+    def test_missing_images_errors(self, tmp_path):
+        import pytest
+
+        from splatter_a_video_tpu.apps import preprocess as cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["--datadir", str(tmp_path)])

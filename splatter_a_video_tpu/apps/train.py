@@ -74,6 +74,13 @@ def main(argv=None):
         max_steps=args.num_iters,
         max_intersections=args.max_intersections,
     )
+    if args.gs_config_file:
+        # model-level YAML overrides (lrs, schedules, densify hypers,
+        # lambda_dssim, render attributes) — the reference's second config
+        # tier (`frag_gs_v10.yaml` via `--gs_config_file`, config.txt:19)
+        from ..utils.config import apply_gs_config, load_yaml
+
+        tcfg, fcfg = apply_gs_config(load_yaml(args.gs_config_file), tcfg, fcfg)
 
     t0 = time.time()
 

@@ -67,6 +67,83 @@ def load_yaml(path: str) -> Dict[str, Any]:
         return yaml.safe_load(f)
 
 
+# reference param-group names -> our scene attribute names
+_ATTR_RENAME = {"features": "features_dc", "pos_cubic_node": "pos_cubic_coeff"}
+
+
+def apply_gs_config(yaml_cfg: Dict[str, Any], tcfg, fcfg):
+    """Apply a reference-style model YAML (`frag_gs_v10.yaml`) onto the typed
+    trainer/fit configs; returns replaced (tcfg, fcfg) copies.
+
+    Mapping (reference -> here):
+      trainer.max_steps                  -> TrainerConfig.max_steps + the
+                                            lr-schedule horizon (OptimConfig)
+      trainer.model.lambda_dssim         -> TrainerConfig.lambda_dssim
+      optimizer.*.args.eps               -> OptimConfig.eps
+      optimizer.*.extra_cfg.*            -> DensifyConfig fields (same names)
+      optimizer.*.params.point_cloud.X.lr-> OptimConfig.lrs[X]
+      scheduler.params.point_cloud.X     -> OptimConfig.schedules[X]
+      dataset.white_bg                   -> TrainerConfig.white_bg
+      render_attributes                  -> FitConfig.render_attributes +
+                                            TrainerConfig.train_render_attributes
+    (`pos_poly_feat` in render_attributes refers to an existing trajectory
+    parameter, not a new attribute — the trainer blends it whenever
+    train_render_attributes is on, `trainer.py`.) The point-cloud initializer
+    block is informational here: initialization comes from lifted tracks
+    (`fit.build_scene_from_clip`), the production path of the reference too.
+    """
+    tr = (yaml_cfg or {}).get("trainer", {}) or {}
+    model = tr.get("model", {}) or {}
+    opt_all = tr.get("optimizer", {}) or {}
+    opt1 = next(iter(opt_all.values()), {}) if opt_all else {}
+    extra = opt1.get("extra_cfg", {}) or {}
+    dens_fields = {f.name for f in dataclasses.fields(type(tcfg.densify))}
+    dens_kw = {
+        k: type(getattr(tcfg.densify, k))(v)
+        for k, v in extra.items()
+        if k in dens_fields
+    }
+
+    lrs = dict(tcfg.optim.lrs)
+    for pname, d in (opt1.get("params", {}) or {}).items():
+        attr = pname.split(".")[-1]
+        attr = _ATTR_RENAME.get(attr, attr)
+        if isinstance(d, dict) and "lr" in d:
+            lrs[attr] = float(d["lr"])
+    schedules = dict(tcfg.optim.schedules)
+    for pname, d in ((tr.get("scheduler", {}) or {}).get("params", {}) or {}).items():
+        attr = pname.split(".")[-1]
+        attr = _ATTR_RENAME.get(attr, attr)
+        if isinstance(d, dict) and "init" in d and "final" in d:
+            schedules[attr] = (float(d["init"]), float(d["final"]))
+
+    max_steps = int(tr.get("max_steps", tcfg.max_steps))
+    optim_new = dataclasses.replace(
+        tcfg.optim,
+        max_steps=max_steps,
+        eps=float((opt1.get("args") or {}).get("eps", tcfg.optim.eps)),
+        lrs=tuple(sorted(lrs.items())),
+        schedules=tuple(sorted(schedules.items())),
+    )
+    tcfg_kw: Dict[str, Any] = dict(
+        max_steps=max_steps,
+        lambda_dssim=float(model.get("lambda_dssim", tcfg.lambda_dssim)),
+        optim=optim_new,
+        densify=dataclasses.replace(tcfg.densify, **dens_kw),
+        white_bg=bool((tr.get("dataset") or {}).get("white_bg", tcfg.white_bg)),
+    )
+    ra = tr.get("render_attributes")
+    if ra:
+        fcfg = dataclasses.replace(
+            fcfg,
+            render_attributes=tuple(
+                (k, int(v)) for k, v in ra.items() if k != "pos_poly_feat"
+            ),
+        )
+        tcfg_kw["train_render_attributes"] = True
+    return dataclasses.replace(tcfg, **tcfg_kw), fcfg
+
+
 def make_arg_parser() -> argparse.ArgumentParser:
     """CLI flags mirroring the reference's surface (`src/config.py:4-93`):
     the reference's `python train.py --config configs/config.txt --seq_name X

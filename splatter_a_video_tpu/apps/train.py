@@ -94,7 +94,8 @@ def main(argv=None):
     from ..train import hooks as hooks_lib
 
     hooks = [
-        hooks_lib.LogHook(print_every=0, tensorboard=bool(args.tensorboard)),
+        hooks_lib.LogHook(print_every=0, image_every=args.i_img,
+                          tensorboard=bool(args.tensorboard)),
         hooks_lib.CheckPointHook(every=args.i_weight),
     ]
     from ..data.factory import make_training_sampler

@@ -50,7 +50,8 @@ def main(argv=None):
             # reference's production choice, trainer_fragGS.py:285-289);
             # falls back to the lifting depth otherwise
             loss_depth_dir=os.path.join(base, "marigold", "depth_npy"),
-            end=args.num_imgs,
+            start=args.base_idx,
+            end=(-1 if args.num_imgs < 0 else args.base_idx + args.num_imgs),
         ).setup()
 
     H, W = data.image_size

@@ -154,7 +154,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--datadir", type=str, default="")
     p.add_argument("--seq_name", type=str, default="clip")
     p.add_argument("--out_dir", type=str, default="out")
-    p.add_argument("--num_imgs", type=int, default=250)
+    p.add_argument("--num_imgs", type=int, default=250,
+                   help="frames to use (-1 = all; reference config.py:30)")
+    p.add_argument("--base_idx", type=int, default=0,
+                   help="first frame index of the clip sub-range "
+                        "(reference trainer_fragGS.py:266-268)")
     p.add_argument("--num_iters", type=int, default=20000)
     p.add_argument("--loss_rgb_weight", type=float, default=10.0)
     p.add_argument("--loss_flow_weight", type=float, default=2.0)

@@ -31,6 +31,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, required=True)
     p.add_argument("--height", type=int, required=True)
     p.add_argument("--num_frames", type=int, required=True)
+    p.add_argument("--max_intersections", type=int, default=1 << 20)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -49,7 +50,9 @@ def main(argv=None):
     scene = load_scene_from_ckpt(args.ckpt)
     W, H, T = args.width, args.height, args.num_frames
     cam = cam_lib.canonical_camera(W, H)
-    rcfg = raster_lib.RasterizeConfig(width=W, height=H)
+    rcfg = raster_lib.RasterizeConfig(
+        width=W, height=H, max_intersections=args.max_intersections
+    )
 
     if args.mode == "appearance_img":
         # whole-frame appearance transfer (optimize_appearance_from_img):

@@ -76,3 +76,28 @@ class TestDavisLayoutPipeline:
         for v in m.values():
             if isinstance(v, (int, float)):
                 assert np.isfinite(v)
+
+        # appearance edit from the checkpoint: recolor the masked region
+        # (`optimize_appearance_from_mask`, trainer_fragGS.py:999-1060)
+        import imageio.v2 as imageio
+
+        from splatter_a_video_tpu.apps import edit as edit_app
+
+        frame0 = imageio.imread(str(davis_dir / "seq" / "images" / "00000.png"))
+        mask0 = str(davis_dir / "seq" / "masks" / "00000.png")
+        target = frame0.astype(np.float32) / 255.0
+        target[..., 0] = np.minimum(target[..., 0] + 0.4, 1.0)  # redden fg
+        tpath = str(tmp_path / "edited_target.png")
+        imageio.imwrite(tpath, (target * 255).astype(np.uint8))
+        evid = str(tmp_path / "edited.mp4")
+        edit_app.main([
+            "--ckpt", out, "--mode", "appearance", "--mask", mask0,
+            "--target", tpath, "--steps", "20", "--width", "64",
+            "--height", "48", "--num_frames", "8", "--out", evid,
+            "--max_intersections", str(1 << 14),
+        ])
+        eproduced = [
+            p for p in (evid, evid.replace(".mp4", ".gif"))
+            if os.path.exists(p)
+        ] or [p for p in os.listdir(str(tmp_path)) if p.startswith("edited")]
+        assert eproduced, "edit produced no output"

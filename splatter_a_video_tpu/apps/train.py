@@ -50,6 +50,7 @@ def main(argv=None):
             # reference's production choice, trainer_fragGS.py:285-289);
             # falls back to the lifting depth otherwise
             loss_depth_dir=os.path.join(base, "marigold", "depth_npy"),
+            dino_dir=os.path.join(base, "dinov2"),
             start=args.base_idx,
             end=(-1 if args.num_imgs < 0 else args.base_idx + args.num_imgs),
         ).setup()
@@ -71,6 +72,8 @@ def main(argv=None):
         num_frames=data.num_frames,
         loss_rgb_weight=args.loss_rgb_weight,
         loss_flow_weight=args.loss_flow_weight,
+        mask_attr_weight=args.loss_mask_weight,
+        dino_attr_weight=args.loss_dino_weight,
         num_track_samples=args.num_track_samples,
         max_steps=args.num_iters,
         max_intersections=args.max_intersections,

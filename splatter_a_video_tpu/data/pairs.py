@@ -121,6 +121,7 @@ class BatchBuilder:
                     [np.ones((N,), bool), np.zeros((pad,), bool)]
                 )
 
+        dino1 = self.data.get_dino(t1)
         return Batch(
             t1=np.int32(t1),
             t2=np.int32(t2),
@@ -129,6 +130,8 @@ class BatchBuilder:
             query_px=qp.astype(np.float32),
             target_tracks=tt.astype(np.float32),
             track_valid=valid,
+            mask1=np.asarray(self.data.masks_raw[t1], np.float32),
+            dino1=None if dino1 is None else dino1.astype(np.float32),
         )
 
 

@@ -93,6 +93,9 @@ class VideoFlowData:
     # loaded RAW (no inversion / filter / renorm). None = fall back to the
     # lifting depth (`get_depth`).
     loss_depth_dir: Optional[str] = None
+    # per-frame DINO feature images for the dino_attribute supervision
+    # (`trainer_fragGS.py:382-389`: `dinov2/` pngs / 255)
+    dino_dir: Optional[str] = None
     start: int = 0
     end: int = -1
     mask_erosion_radius: int = 3
@@ -103,6 +106,7 @@ class VideoFlowData:
     depths_raw: Optional[List[np.ndarray]] = None   # pre-filter depth [H,W]
     masks_raw: Optional[List[np.ndarray]] = None    # bool fg masks [H,W]
     loss_depths: Optional[List[np.ndarray]] = None  # raw loss-GT depth [H,W]
+    dinos: Optional[List[np.ndarray]] = None        # [H,W,3] float in [0,1]
     tracks: Optional[Dict[Tuple[int, int], np.ndarray]] = None
     frame_names: Optional[List[str]] = None
 
@@ -127,6 +131,8 @@ class VideoFlowData:
                 self.loss_depths = [
                     self._load_loss_depth(n) for n in self.frame_names
                 ]
+            if self.dino_dir and os.path.isdir(self.dino_dir):
+                self.dinos = [self._load_dino(n) for n in self.frame_names]
         elif self.frame_names is None:
             self.frame_names = [f"{i:05d}" for i in range(len(self.frames))]
 
@@ -167,6 +173,22 @@ class VideoFlowData:
         raise FileNotFoundError(
             f"no loss-depth npy for frame {name} in {self.loss_depth_dir}"
         )
+
+    def _load_dino(self, name: str) -> np.ndarray:
+        """Per-frame DINO feature image (`trainer_fragGS.py:386-389`:
+        png/jpg / 255)."""
+        import imageio.v2 as imageio
+
+        for ext in (".png", ".jpg"):
+            p = os.path.join(self.dino_dir, name + ext)
+            if os.path.isfile(p):
+                return (
+                    np.asarray(imageio.imread(p), np.float32)[..., :3] / 255.0
+                )
+        raise FileNotFoundError(f"no dino image for frame {name} in {self.dino_dir}")
+
+    def get_dino(self, i: int) -> Optional[np.ndarray]:
+        return None if self.dinos is None else self.dinos[i]
 
     def _load_mask(self, name: str) -> np.ndarray:
         import imageio.v2 as imageio

@@ -73,6 +73,13 @@ class TrainerConfig:
     # blend channel count (C 23 -> 7) and the backward reduce cost. Enable
     # when adding mask/dino supervision.
     train_render_attributes: bool = False
+    # attribute supervision — the reference's hand-switched capabilities
+    # (`trainer_fragGS.py:631-642`: MSE * 20 on the rendered mask/dino
+    # channels vs the fg mask / DINO feature image) promoted to config.
+    # Non-zero weights imply attribute rendering and require Batch.mask1 /
+    # Batch.dino1.
+    mask_attr_weight: float = 0.0      # reference's hand value: 20
+    dino_attr_weight: float = 0.0      # reference's hand value: 20
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
@@ -121,6 +128,11 @@ class Batch(NamedTuple):
     query_px: jnp.ndarray         # [P, 2] float32 query pixels in frame t1
     target_tracks: jnp.ndarray    # [P, 4] (x, y, occ_logit, expected_dist) at t2
     track_valid: jnp.ndarray      # [P] bool (padding mask)
+    # optional attribute supervision (required iff the corresponding
+    # TrainerConfig weight is non-zero): binary fg mask and per-pixel
+    # feature target for frame t1 (`trainer_fragGS.py:632-642`)
+    mask1: Optional[jnp.ndarray] = None   # [H, W] float32 in {0, 1}
+    dino1: Optional[jnp.ndarray] = None   # [H, W, 3] float32
 
 
 def scene_render_inputs(scene: GaussianScene, t) -> Dict[str, jnp.ndarray]:
@@ -160,7 +172,8 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
             inp1 = scene_render_inputs(sc, batch.t1)
             pos2 = sc.get_position(batch.t2)
             extra = {"track_gs": pos2}
-            if cfg.train_render_attributes:
+            if (cfg.train_render_attributes or cfg.mask_attr_weight
+                    or cfg.dino_attr_weight):
                 for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
                     if name in inp1:
                         extra[name] = inp1[name]
@@ -202,7 +215,25 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
                 loss = loss + cfg.depth_loss_weight * loss_depth
             if cfg.arap_weight:
                 loss = loss + cfg.arap_weight * loss_arap
+            extra_metrics = {}
+            if cfg.mask_attr_weight:
+                # MSE on the detached-opacity-blended mask channel vs the
+                # binary fg mask (`trainer_fragGS.py:632-636`)
+                loss_mask = jnp.mean(
+                    (out.features["mask_attribute"][..., 0] - batch.mask1) ** 2
+                )
+                loss = loss + cfg.mask_attr_weight * loss_mask
+                extra_metrics["loss_mask_attr"] = loss_mask
+            if cfg.dino_attr_weight:
+                # MSE on the rendered feature channels vs the per-pixel
+                # DINO target image (`trainer_fragGS.py:638-642`)
+                loss_dino = jnp.mean(
+                    (out.features["dino_attribute"] - batch.dino1) ** 2
+                )
+                loss = loss + cfg.dino_attr_weight * loss_dino
+                extra_metrics["loss_dino_attr"] = loss_dino
             metrics = {
+                **extra_metrics,
                 "loss": loss,
                 "loss_rgb": loss_rgb,
                 "loss_flow": loss_flow,

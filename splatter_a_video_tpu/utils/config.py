@@ -162,6 +162,12 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_iters", type=int, default=20000)
     p.add_argument("--loss_rgb_weight", type=float, default=10.0)
     p.add_argument("--loss_flow_weight", type=float, default=2.0)
+    p.add_argument("--loss_mask_weight", type=float, default=0.0,
+                   help="mask_attribute MSE weight (reference hand-enables "
+                        "this at 20, trainer_fragGS.py:631-636)")
+    p.add_argument("--loss_dino_weight", type=float, default=0.0,
+                   help="dino_attribute MSE weight vs dinov2/ images "
+                        "(reference hand value 20, trainer_fragGS.py:638-642)")
     p.add_argument("--gs_config_file", type=str, default=None,
                    help="model-level YAML (frag_gs_v10.yaml equivalent)")
     p.add_argument("--num_track_samples", type=int, default=4096)

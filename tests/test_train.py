@@ -436,3 +436,40 @@ class TestGanLoss:
 
         with _pytest.raises(AssertionError):
             losses.gan_loss(jnp.zeros((2, 2)), False, "hinge", for_discriminator=False)
+
+
+class TestAttributeSupervision:
+    def test_mask_dino_supervision_trains(self):
+        """The reference's hand-switched mask/dino attribute losses
+        (`trainer_fragGS.py:631-642`, `if False:` there) as proper config:
+        MSE on the detached-opacity-blended channels, weight 20."""
+        scene = make_scene()
+        cfg = tcfg(mask_attr_weight=20.0, dino_attr_weight=20.0)
+        cam = camera.canonical_camera(W, H)
+        train_step = trainer.make_train_step(cfg, cam.extrinsic)[0]
+        state = trainer.init_train_state(cfg, scene)
+        rng = np.random.RandomState(0)
+        target = rng.rand(H, W, 3).astype(np.float32)
+        batch = make_batch(rng, target)
+        mask1 = (np.mgrid[0:H, 0:W][1] < W // 2).astype(np.float32)
+        dino1 = np.tile(mask1[..., None], (1, 1, 3)) * 0.8
+        batch = batch._replace(
+            mask1=jnp.asarray(mask1), dino1=jnp.asarray(dino1)
+        )
+        m0 = None
+        for _ in range(15):
+            state, m = train_step(state, batch)
+            if m0 is None:
+                m0 = {k: float(v) for k, v in m.items()}
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["loss_mask_attr"]) < m0["loss_mask_attr"]
+        assert float(m["loss_dino_attr"]) < m0["loss_dino_attr"]
+        # gradients reached the attribute params
+        assert not np.allclose(
+            np.asarray(state.scene.params["mask_attribute"]),
+            np.asarray(scene.params["mask_attribute"]),
+        )
+        assert not np.allclose(
+            np.asarray(state.scene.params["dino_attribute"]),
+            np.asarray(scene.params["dino_attribute"]),
+        )

@@ -80,6 +80,12 @@ class TrainerConfig:
     # Batch.dino1.
     mask_attr_weight: float = 0.0      # reference's hand value: 20
     dino_attr_weight: float = 0.0      # reference's hand value: 20
+    # fg-layer re-render supervision (`trainer_fragGS.py:645-668`, also
+    # hand-switched there): gaussians whose detached mask attribute > 0.5
+    # re-rendered alone on black; MSE vs the masked GT rgb and the fg mask,
+    # both at this weight, engaged after fg_layer_start_iter steps.
+    fg_layer_weight: float = 0.0       # reference's hand value: 20
+    fg_layer_start_iter: int = 100     # reference: `self.step > 100`
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
@@ -232,6 +238,43 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
                 )
                 loss = loss + cfg.dino_attr_weight * loss_dino
                 extra_metrics["loss_dino_attr"] = loss_dino
+            if cfg.fg_layer_weight:
+                # fg-only layer re-render (`trainer_fragGS.py:645-668`).
+                # Zero-opacity masking equals the reference's boolean
+                # gaussian slicing: alpha < 1/255 contributors are skipped
+                # identically by the blend. The sinks are stop-gradded so
+                # this render doesn't pollute densification statistics
+                # (the reference's optimizer also reads only the first
+                # render's viewspace grads).
+                fg_sel = jax.lax.stop_gradient(
+                    inp1["mask_attribute"][:, 0] > 0.5
+                )
+                inp_fg = {
+                    **inp1,
+                    "opacity": jnp.where(fg_sel, inp1["opacity"], 0.0),
+                }
+                out_fg = _render_with_sinks(
+                    inp_fg, extr_j, rcfg,
+                    {"mask_attribute": inp1["mask_attribute"]},
+                    False,  # bg_color 0 (`trainer_fragGS.py:658`)
+                    jax.lax.stop_gradient(uv_sink),
+                    jax.lax.stop_gradient(abs_sink),
+                    depth_bg=cfg.depth_bg,
+                )
+                gt_mask1 = batch.mask1[..., None]
+                loss_rgb_fg = jnp.mean(
+                    (out_fg.features["rgb"] - batch.rgb1 * gt_mask1) ** 2
+                )
+                loss_mask_fg = jnp.mean(
+                    (out_fg.features["mask_attribute"] - gt_mask1) ** 2
+                )
+                w_fg = jnp.where(
+                    state.step > cfg.fg_layer_start_iter,
+                    cfg.fg_layer_weight, 0.0,
+                )
+                loss = loss + w_fg * (loss_rgb_fg + loss_mask_fg)
+                extra_metrics["loss_rgb_fg"] = loss_rgb_fg
+                extra_metrics["loss_mask_fg"] = loss_mask_fg
             metrics = {
                 **extra_metrics,
                 "loss": loss,

@@ -473,3 +473,26 @@ class TestAttributeSupervision:
             np.asarray(state.scene.params["dino_attribute"]),
             np.asarray(scene.params["dino_attribute"]),
         )
+
+    def test_fg_layer_losses_train(self):
+        """fg-layer re-render supervision (`trainer_fragGS.py:645-668`):
+        after fg_layer_start_iter, fg-selected gaussians rendered alone on
+        black are pushed toward the masked GT; before it the term is inert."""
+        scene = make_scene()
+        cfg = tcfg(mask_attr_weight=20.0, fg_layer_weight=20.0,
+                   fg_layer_start_iter=3)
+        cam = camera.canonical_camera(W, H)
+        train_step = trainer.make_train_step(cfg, cam.extrinsic)[0]
+        state = trainer.init_train_state(cfg, scene)
+        rng = np.random.RandomState(1)
+        target = rng.rand(H, W, 3).astype(np.float32)
+        mask1 = (np.mgrid[0:H, 0:W][1] < W // 2).astype(np.float32)
+        batch = make_batch(rng, target)._replace(mask1=jnp.asarray(mask1))
+        metrics = []
+        for _ in range(12):
+            state, m = train_step(state, batch)
+            metrics.append({k: float(v) for k, v in m.items()})
+        assert np.isfinite(metrics[-1]["loss"])
+        # the fg terms are reported from step 0 but only weighted in after
+        # the start iter; they must move once active
+        assert metrics[-1]["loss_mask_fg"] < metrics[3]["loss_mask_fg"]

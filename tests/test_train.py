@@ -438,6 +438,7 @@ class TestGanLoss:
             losses.gan_loss(jnp.zeros((2, 2)), False, "hinge", for_discriminator=False)
 
 
+@pytest.mark.slow
 class TestAttributeSupervision:
     def test_mask_dino_supervision_trains(self):
         """The reference's hand-switched mask/dino attribute losses

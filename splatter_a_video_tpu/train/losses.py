@@ -475,6 +475,41 @@ def arap_loss(
     return jnp.sum(w * stretch) / 2.0
 
 
+def smoothness_loss(
+    features: jnp.ndarray,
+    key: jax.Array,
+    positions: Optional[jnp.ndarray] = None,
+    k: int = 10,
+    sample_num: int = 512,
+    alive: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Neighborhood feature-smoothness energy — parity with
+    `cal_smooth_error` (`geometry_utils.py:126-141`, imported by the trainer
+    but only referenced from a commented line `trainer_fragGS.py:697`):
+    sum of |weighted feature differences| over each sampled point's KNN
+    edges. `positions` drives the connectivity (defaults to the features
+    themselves, matching the reference's call shape)."""
+    pos = features if positions is None else positions
+    N = pos.shape[0]
+    if alive is None:
+        sample_idx = jax.random.randint(key, (min(sample_num, N),), 0, N)
+    else:
+        p = alive.astype(jnp.float32)
+        p = p / jnp.maximum(p.sum(), 1.0)
+        sample_idx = jax.random.choice(
+            key, N, (min(sample_num, N),), replace=True, p=p
+        )
+    nn_idx, w, valid = arap_connectivity(
+        pos, k=k, query_idx=sample_idx, alive=alive
+    )
+    edges = jnp.where(
+        valid[..., None],
+        features[sample_idx][:, None, :] - features[nn_idx],
+        0.0,
+    )
+    return jnp.sum(jnp.abs(w[..., None] * edges))
+
+
 # --------------------------------------------------------------------------
 # entropy over per-pixel top-K opacities (trainer_fragGS.py:49-84)
 # --------------------------------------------------------------------------

@@ -497,3 +497,20 @@ class TestAttributeSupervision:
         # the fg terms are reported from step 0 but only weighted in after
         # the start iter; they must move once active
         assert metrics[-1]["loss_mask_fg"] < metrics[3]["loss_mask_fg"]
+
+
+class TestSmoothnessLoss:
+    def test_zero_for_constant_features_and_grad_finite(self):
+        """`cal_smooth_error` parity (`geometry_utils.py:126-141`): constant
+        features have zero neighborhood difference; rough features don't;
+        gradients stay finite through the sampled-KNN connectivity."""
+        key = jax.random.PRNGKey(0)
+        rng = np.random.RandomState(0)
+        pts = jnp.asarray(rng.rand(300, 3).astype(np.float32))
+        z = losses.smoothness_loss(jnp.ones((300, 3)), key, positions=pts)
+        r = losses.smoothness_loss(pts * 10, key, positions=pts)
+        assert float(z) < 1e-6 < float(r)
+        g = jax.grad(
+            lambda f: losses.smoothness_loss(f, key, positions=pts)
+        )(pts * 10)
+        assert np.isfinite(np.asarray(g)).all()

@@ -76,9 +76,12 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         # max_tiles_per_gaussian=32 halves the fill-forward passes and is
         # un-truncating for this scene (verified: render checksum is
         # bit-identical to the 64-cap image)
+        # chunk=256 + MXU coverage edges: ~0.1 ms render win after the
+        # masking/pack-gather trims (neutral before them); the TRAIN step
+        # keeps chunk=128 (its backward runs 3 chunk^2 MXU scans per visit)
         return rasterize.RasterizeConfig(
             width=W, height=H, max_intersections=mi, block_x=32, block_y=16,
-            max_tiles_per_gaussian=32,
+            max_tiles_per_gaussian=32, chunk=256, edges_mode="matmul",
         )
 
     # ---- probe the true intersection count, then size the budget --------
@@ -98,7 +101,7 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
     finally:
         _clear()
     n_int = int(n_int)
-    tight = min(max_int, -(-int(n_int * 1.03) // 128) * 128)
+    tight = min(max_int, -(-int(n_int * 1.03) // 256) * 256)
     print(f"# intersections {n_int} -> budget {tight}", file=sys.stderr)
     if n_int > max_int:
         raise RuntimeError(f"saturated: {n_int} > {max_int}")
@@ -159,6 +162,44 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         best = min(best, (time.time() - t0) / reps)
     fps_single = 1.0 / best
     print(f"# single-dispatch: {fps_single:.1f} FPS", file=sys.stderr)
+
+    # relay-independent ground truth: per-frame device-executable time from
+    # a profiler trace (the axon relay adds 0.5-1.2 ms RPC per dispatch that
+    # varies per process and that a directly-attached TPU host doesn't pay)
+    try:
+        import glob as _glob
+        import gzip as _gzip
+        import shutil as _shutil
+
+        trace_dir = "/tmp/sav_bench_trace"
+        _shutil.rmtree(trace_dir, ignore_errors=True)
+        with jax.profiler.trace(trace_dir):
+            for t in ts[:3]:
+                rgb = render_t(t)
+            rgb.block_until_ready()
+        files = _glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+        with _gzip.open(files[0], "rt") as f:
+            trace = json.load(f)
+        pid_names = {
+            e["pid"]: e["args"].get("name", "")
+            for e in trace.get("traceEvents", [])
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        dev_us = sum(
+            e["dur"]
+            for e in trace.get("traceEvents", [])
+            if e.get("ph") == "X" and e.get("dur", 0) > 0
+            and ("TPU" in pid_names.get(e["pid"], "")
+                 or "/device" in pid_names.get(e["pid"], "").lower())
+        )
+        dev_ms = dev_us / 1e3 / 3
+        print(
+            f"# single-dispatch device time: {dev_ms:.2f} ms/frame "
+            f"(= {1e3 / dev_ms:.1f} FPS net of relay RPC)",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        print(f"# device-time trace unavailable: {e}", file=sys.stderr)
 
     # headline: batched video rendering (one dispatch per `batch` frames)
     for _ in range(2):

@@ -426,20 +426,26 @@ def _pack_and_edges(sorted_tile, sorted_gid, channels, T, chunk, edges=None):
     edges: optional precomputed [T+1] ranges (`_edges_matmul`).
     """
     Dc = channels.shape[1]
+    D_target = -(-Dc // 8) * 8
     pad_ok = sorted_gid >= 0
-    safe_gid = jnp.where(pad_ok, sorted_gid, 0)
     # the one gather, channel-major: channels pre-transposed to [Dc, N] so
     # the output [Dc, M] keeps M on the lane axis (an [M, Dc] gather would
-    # pad Dc to 128 lanes and waste ~8-32x bandwidth)
-    packed = jnp.where(
-        pad_ok[None, :],
-        jnp.take(channels.astype(jnp.float32).T, safe_gid, axis=1),
-        0.0,
-    )  # [Dc, M]
-    D_target = -(-Dc // 8) * 8
-    # one fused pad: row padding to the 8-sublane multiple + guard columns
-    # for unaligned tail DMAs (two concatenates would cost two copies)
-    packed = jnp.pad(packed, ((0, D_target - Dc), (0, chunk)))
+    # pad Dc to 128 lanes and waste ~8-32x bandwidth). The sublane padding
+    # to the 8-multiple, the -1-slot zeroing and the tail guard columns are
+    # ALL folded into the gather itself: source column N is a zero column,
+    # -1/tail gids map to it, and the source is pre-padded to D_target rows
+    # (N-scale pads are ~free; a separate [D, M] pad/where costs a copy).
+    src = jnp.pad(
+        channels.astype(jnp.float32).T, ((0, D_target - Dc), (0, 1))
+    )  # [D_target, N + 1]
+    N = channels.shape[0]
+    safe_gid = jnp.concatenate(
+        [
+            jnp.where(pad_ok, sorted_gid, N),
+            jnp.full((chunk,), N, jnp.int32),
+        ]
+    )
+    packed = jnp.take(src, safe_gid, axis=1)  # [D_target, M + chunk]
     gid_out = jnp.concatenate(
         [sorted_gid, jnp.full((chunk,), -1, jnp.int32)]
     )
@@ -503,7 +509,11 @@ def _bin_sort_pack_presorted(
         (dk, jnp.arange(N, dtype=jnp.int32), tiles, rectword),
         num_keys=2, is_stable=False,
     )
-    # reorder channels once at N scale (3-4x smaller than an M-scale gather)
+    # reorder channels once at N scale. Measured alternatives (memory:
+    # tpu-perf-model): riding the channel columns as payloads of the sort
+    # above = +0.36 ms sort for -0.18 ms gather; composing perm into the
+    # M-scale pack gather de-localizes it 0.7 -> 2.8 ms. This is the cheap
+    # form.
     channels_s = jax.lax.optimization_barrier(
         jnp.take(channels, jax.lax.optimization_barrier(perm), axis=0)
     )

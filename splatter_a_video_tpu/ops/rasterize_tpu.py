@@ -176,21 +176,34 @@ def _chunk_alpha(data, px_x, px_y, lane_ok, bias_row: Optional[int] = None):
     cb = data[3:4, :]
     cc = data[4:5, :]
     op = data[5:6, :]
+    # the lane-validity mask folds into opacity at (1, chunk) scale (~free:
+    # 128 lanes vs the (PIX, chunk) broadcasts), replacing a broadcast
+    # `& lane_ok` in the mask chain. The quadratic keeps ITS EXACT original
+    # association: reassociating it (Horner with pre-scaled conics) is
+    # bit-different per lane and measurably shifts converged e2e tracking
+    # metrics (AJ 48.4 -> 39.9 on the synthetic harness) for ~0.02 ms.
+    opm = jnp.where(lane_ok, op, 0.0)
     vx = uvx - px_x
     vy = uvy - px_y
     power2 = (-0.5 * _LOG2E) * (ca * vx * vx + cc * vy * vy) - (
         (_LOG2E * cb) * vx
     ) * vy
-    # clamp before exp: power>0 entries are masked, and an inf gexp would
-    # poison masked gradients with inf * 0 = nan
-    gexp = jnp.exp2(jnp.minimum(power2, 0.0))
-    raw = op * gexp
+    # power > 0 lanes are culled (ewa_project.cu's `power > 0` skip): a
+    # -126 exponent sentinel makes their alpha ~1e-38 < ALPHA_MIN, so the
+    # threshold test below masks them without a separate condition chain
+    # (an inf gexp would poison masked gradients with inf * 0 = nan)
+    culled = power2 > 0.0
+    gexp = jnp.exp2(jnp.where(culled, -126.0, power2))
+    raw = opm * gexp
     if bias_row is not None:
-        raw = raw + data[bias_row : bias_row + 1, :]
+        raw = raw + jnp.where(lane_ok, data[bias_row : bias_row + 1, :], 0.0)
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    alpha_eff = jnp.where(
-        (power2 <= 0.0) & (alpha >= ALPHA_MIN) & lane_ok, alpha, 0.0
-    )
+    if bias_row is not None:
+        # with a bias the culled sentinel no longer implies alpha < MIN
+        keep = (alpha >= ALPHA_MIN) & jnp.logical_not(culled)
+    else:
+        keep = alpha >= ALPHA_MIN
+    alpha_eff = jnp.where(keep, alpha, 0.0)
     return alpha_eff, gexp, vx, vy, ca, cb, cc, op
 
 

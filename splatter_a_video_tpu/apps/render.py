@@ -40,7 +40,6 @@ def main(argv=None):
     from .. import inference
     from ..models import camera as cam_lib
     from ..ops import rasterize as raster_lib
-    from ..utils import checkpoint as ckpt_lib
     from ..utils import vis as vis_lib
     from .train_state_io import load_scene_from_ckpt
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 
@@ -24,9 +23,7 @@ def main(argv=None):
     args = parse_args(argv)
     enable_compilation_cache()
 
-    import numpy as np
 
-    from ..data import pairs as pairs_lib
     from ..data import synthetic as synth_lib
     from ..data.video_flow import VideoFlowData
     from ..train import fit as fit_lib

@@ -25,8 +25,8 @@ Type names follow the reference's `dataset_dict`
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import replace
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,9 +17,8 @@ Expected data layout (reference `src/data_preparation/README.md:39-60`):
 
 from __future__ import annotations
 
-import glob
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ import numpy as np
 from .models import camera as _camera
 from .models.gaussians import GaussianScene
 from .ops import rasterize as _raster
-from .ops.quaternion import inverse_sigmoid, quat_normalize
 from .train.losses import denormalize_coords
 
 # --------------------------------------------------------------------------

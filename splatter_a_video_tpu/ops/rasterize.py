@@ -14,7 +14,7 @@ the point-wise stages and through the custom-vjp Pallas pair for blending.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -23,13 +23,11 @@ scaling axis; a clip fits one chip (reference: 10 GB).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.gaussians import GaussianScene
 from ..train import density as _density

@@ -10,7 +10,7 @@ see `dp.py`. The single-chip case (the reference's primary target: 10 GB,
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

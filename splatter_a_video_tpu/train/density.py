@@ -36,7 +36,6 @@ Semantics parity notes:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax

@@ -19,13 +19,11 @@ stay static.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.quaternion import quat_to_rotmat
 from ..ops.ssim import ssim as _ssim
 
 # --------------------------------------------------------------------------

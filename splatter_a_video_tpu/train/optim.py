@@ -18,7 +18,7 @@ surgery (`src/pointrix/point_cloud/points.py:281-395`); see `density.py`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

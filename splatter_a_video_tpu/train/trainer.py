@@ -25,10 +25,9 @@ CUDA launches; see `ops/rasterize_tpu.py`).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,6 @@ import numpy as np
 
 from ..models.gaussians import GaussianScene, SceneConfig
 from ..ops import rasterize as _raster
-from ..ops.quaternion import quat_normalize
 from . import density as _density
 from . import losses as _losses
 from . import optim as _optim

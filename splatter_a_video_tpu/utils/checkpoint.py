@@ -16,8 +16,6 @@ import os
 import re
 from typing import Optional
 
-import jax
-import numpy as np
 
 
 def _ckpt_dir(out_dir: str, step: int) -> str:

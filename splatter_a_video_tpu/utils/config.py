@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import shlex
 from typing import Any, Dict, Optional, Type, TypeVar
 
 T = TypeVar("T")

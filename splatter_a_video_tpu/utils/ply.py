@@ -11,7 +11,6 @@ Implemented directly on the struct module (no plyfile dependency).
 
 from __future__ import annotations
 
-import struct
 from typing import Dict, List, Tuple
 
 import numpy as np

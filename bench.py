@@ -218,10 +218,12 @@ def main():
     enable_compilation_cache()
 
     configs = [
-        # (W, H, N, max_intersections, label)
+        # (W, H, N, max_intersections, label); the flagship config is
+        # retried at the end — relay compile-request drops are transient
         (854, 480, 100_000, 3 << 17, "480p_100k"),
         (640, 360, 50_000, 1 << 20, "360p_50k"),
         (320, 240, 20_000, 1 << 18, "240p_20k"),
+        (854, 480, 100_000, 3 << 17, "480p_100k"),
     ]
     for W, H, N, mi, label in configs:
         try:

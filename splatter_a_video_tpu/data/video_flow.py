@@ -356,3 +356,54 @@ class VideoFlowData:
             out_pts.append(seq)
             out_cols.append(colors[valid])
         return np.concatenate(out_pts, axis=0), np.concatenate(out_cols, axis=0)
+
+
+# --------------------------------------------------------------------------
+# depth -> point / normal helpers (`video3Dflow/utils.py:300-366`; utility
+# surface the reference ships unused — kept for API parity)
+# --------------------------------------------------------------------------
+
+
+def depth_to_points_world(
+    depth: np.ndarray, intrinsic: np.ndarray, extrinsic: np.ndarray
+) -> np.ndarray:
+    """Unproject a depth image to world points — parity with
+    `depth2point_world` (`video3Dflow/utils.py:329-341`): pixel centers on
+    the (size-1)-normalized grid, K^-1 backprojection, then the inverse of
+    the 4x4 world->camera extrinsic. Returns [H*W, 3]."""
+    H, W = depth.shape
+    x = np.arange(W, dtype=np.float32) / (W - 1)
+    y = np.arange(H, dtype=np.float32) / (H - 1)
+    yy, xx = np.meshgrid(y, x, indexing="ij")
+    # ndc -> cam (ndc_2_cam): xy scaled back to pixels times depth, K^-T
+    cam_xy = np.stack([xx * (W - 1), yy * (H - 1)], axis=-1) * depth[..., None]
+    cam_xyz = np.concatenate([cam_xy, depth[..., None]], axis=-1)
+    cam_xyz = cam_xyz.reshape(-1, 3) @ np.linalg.inv(intrinsic.T)
+    ones = np.ones((cam_xyz.shape[0], 1), cam_xyz.dtype)
+    world = np.concatenate([cam_xyz, ones], axis=-1) @ np.linalg.inv(
+        extrinsic
+    ).T
+    return world[:, :3]
+
+
+def points_to_normals(xyz: np.ndarray) -> np.ndarray:
+    """Central-difference normals of an organized point image [H, W, 3] —
+    parity with `depth_pcd2normal` (`video3Dflow/utils.py:344-358`);
+    one-pixel zero border."""
+    lr = xyz[1:-1, 2:, :] - xyz[1:-1, :-2, :]
+    bt = xyz[:-2, 1:-1, :] - xyz[2:, 1:-1, :]
+    n = np.cross(lr, bt)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    out = np.zeros_like(xyz)
+    out[1:-1, 1:-1, :] = n
+    return out
+
+
+def normal_from_depth_image(
+    depth: np.ndarray, intrinsic: np.ndarray, extrinsic: np.ndarray
+) -> np.ndarray:
+    """Parity with `normal_from_depth_image` (`video3Dflow/utils.py:361-366`)."""
+    xyz = depth_to_points_world(depth, intrinsic, extrinsic).reshape(
+        *depth.shape, 3
+    )
+    return points_to_normals(xyz)

@@ -197,3 +197,29 @@ class TestDatasetFactory:
         mix.cfg.error_weights = w  # the fit loop's resampling hook
         draws = [mix.sample(i)[0] for i in range(100)]
         assert np.mean(np.asarray(draws) == 4) > 0.9
+
+
+class TestDepthNormals:
+    def test_normals_match_reference_semantics(self):
+        """depth->world points + organized-cloud normals
+        (`video3Dflow/utils.py:300-366`): flat fronto-parallel depth under
+        identity extrinsics gives -z normals in the interior; unprojection
+        respects K and the world transform."""
+        H, W = 10, 14
+        depth = np.full((H, W), 2.0, np.float32)
+        K = np.array([[20.0, 0, 7.0], [0, 20.0, 5.0], [0, 0, 1.0]], np.float32)
+        E = np.eye(4, dtype=np.float32)
+        n = video_flow.normal_from_depth_image(depth, K, E)
+        inner = n[1:-1, 1:-1]
+        np.testing.assert_allclose(np.abs(inner[..., 2]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(inner[..., :2], 0.0, atol=1e-5)
+        assert (n[0] == 0).all() and (n[:, 0] == 0).all()  # zero border
+        # unprojection: the principal-axis pixel maps to (0, 0, depth)
+        pts = video_flow.depth_to_points_world(depth, K, E).reshape(H, W, 3)
+        # pixel whose (x*(W-1), y*(H-1)) == principal point (7, 5)
+        np.testing.assert_allclose(pts[5, 7], [0.0, 0.0, 2.0], atol=1e-5)
+        # world translation moves every point by -R^T t (inverse extrinsic)
+        E2 = np.eye(4, dtype=np.float32)
+        E2[:3, 3] = [1.0, 2.0, 3.0]
+        pts2 = video_flow.depth_to_points_world(depth, K, E2).reshape(H, W, 3)
+        np.testing.assert_allclose(pts2 - pts, -E2[:3, 3], atol=1e-5)

@@ -222,4 +222,6 @@ class TestDepthNormals:
         E2 = np.eye(4, dtype=np.float32)
         E2[:3, 3] = [1.0, 2.0, 3.0]
         pts2 = video_flow.depth_to_points_world(depth, K, E2).reshape(H, W, 3)
-        np.testing.assert_allclose(pts2 - pts, -E2[:3, 3], atol=1e-5)
+        np.testing.assert_allclose(
+            pts2 - pts, np.broadcast_to(-E2[:3, 3], pts.shape), atol=1e-5
+        )

@@ -153,10 +153,16 @@ class LogHook(Hook):
 
 
 class CheckPointHook(Hook):
-    """Periodic TrainState snapshots (`checkpoint_hook.py:11-44` cadence)."""
+    """Periodic TrainState snapshots (`checkpoint_hook.py:11-44` cadence).
 
-    def __init__(self, every: int = 5000):
+    `ply=True` additionally writes `point_cloud_{step}.ply` of the alive
+    Gaussians (the reference hook exports both a `.ply` and a `.pth` every
+    interval, `checkpoint_hook.py:11-44`; `utils/ply.py` is the interop
+    round trip)."""
+
+    def __init__(self, every: int = 5000, ply: bool = False):
         self.every = every
+        self.ply = ply
 
     def after_train_iter(self, ctx: HookContext):
         if self.every and ctx.step % self.every == 0 and ctx.state is not None:
@@ -175,6 +181,17 @@ class CheckPointHook(Hook):
         from ..utils.checkpoint import save_checkpoint
 
         save_checkpoint(ctx.out_dir, ctx.state, ctx.step)
+        if self.ply:
+            import numpy as np
+
+            from ..utils.ply import save_ply
+
+            scene = ctx.state.scene
+            save_ply(
+                os.path.join(ctx.out_dir, f"point_cloud_{ctx.step:06d}.ply"),
+                {k: np.asarray(v) for k, v in scene.params.items()},
+                np.asarray(scene.alive),
+            )
 
 
 def run_hooks(hooks: List[Hook], site: str, ctx: HookContext) -> None:

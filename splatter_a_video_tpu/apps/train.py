@@ -97,7 +97,7 @@ def main(argv=None):
     hooks = [
         hooks_lib.LogHook(print_every=0, image_every=args.i_img,
                           tensorboard=bool(args.tensorboard)),
-        hooks_lib.CheckPointHook(every=args.i_weight),
+        hooks_lib.CheckPointHook(every=args.i_weight, ply=bool(args.export_ply)),
     ]
     from ..data.factory import make_training_sampler
 

@@ -185,6 +185,10 @@ def make_arg_parser() -> argparse.ArgumentParser:
                         "--i_cache, src/config.py:88; 0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="auto-resume from the latest checkpoint in out_dir")
+    p.add_argument("--export_ply", type=int, default=0,
+                   help="also write point_cloud_{step}.ply at each "
+                        "checkpoint (reference CheckPointHook exports ply + "
+                        "pth, checkpoint_hook.py:11-44)")
     p.add_argument("--tensorboard", type=int, default=1)
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic clip (no datadir needed)")

@@ -62,6 +62,7 @@ def main(argv=None):
         profile_dir=args.profile_dir,
         error_resample_every=args.i_cache,
         distributed=bool(args.distributed),
+        video_flow_margin=args.video_flow_margin,
     )
     tcfg = trainer_lib.TrainerConfig(
         width=W,
@@ -104,6 +105,7 @@ def main(argv=None):
     sampler = make_training_sampler(
         args.dataset_types, data.num_frames,
         dataset_weights=args.dataset_weights, seed=args.seed,
+        start_interval=args.start_interval,
     ) if args.dataset_types != "simpleGS" else None
 
     state, history = fit_lib.fit_clip(

@@ -85,8 +85,12 @@ class _BroadcastCfg:
 
 
 # the reference's dataset_dict names -> sampler-policy constructors
-def _policy(name: str, num_frames: int, seed: int) -> PairSampler:
-    base = PairSamplerConfig(num_frames=num_frames, seed=seed)
+def _policy(
+    name: str, num_frames: int, seed: int, start_interval: int = 5
+) -> PairSampler:
+    base = PairSamplerConfig(
+        num_frames=num_frames, seed=seed, start_interval=start_interval
+    )
     if name == "simpleGS":
         return PairSampler(base)
     if name in ("gaussian", "flow", "point"):
@@ -102,18 +106,19 @@ def make_training_sampler(
     num_frames: int,
     dataset_weights: Optional[Sequence[float]] = None,
     seed: int = 0,
+    start_interval: int = 5,
 ):
     """`get_training_dataset`-shaped entry: 'a+b' type strings build the
     weighted mixture; a single type returns its plain sampler."""
     names = dataset_types.split("+")
     if len(names) == 1:
-        return _policy(names[0], num_frames, seed)
+        return _policy(names[0], num_frames, seed, start_interval)
     if dataset_weights is None or len(dataset_weights) != len(names):
         raise ValueError(
             "dataset_weights must match dataset_types "
             f"({len(names)} entries)"
         )
     samplers = [
-        _policy(n, num_frames, seed + i) for i, n in enumerate(names)
+        _policy(n, num_frames, seed + i, start_interval) for i, n in enumerate(names)
     ]
     return MixedPairSampler(samplers, dataset_weights, seed=seed)

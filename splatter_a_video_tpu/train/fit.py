@@ -40,6 +40,9 @@ class FitConfig:
     num_fg_samples: int = 10000              # read_data_simple tracks (fg)
     num_bg_samples: int = 10000              # and bg (trainer_fragGS.py:256-339)
     capacity_factor: float = 2.0             # slack over initial points
+    # bg border-grid extension: margin fraction + the reference's derived
+    # grid size 64/(margin/0.25) (`trainer_fragGS.py:328-329`)
+    video_flow_margin: float = 0.25
     init_opacity: float = 0.5                # spline cloud init (:125)
     traj: str = "cubic_spline"
     render_attributes: Tuple[Tuple[str, int], ...] = (
@@ -91,7 +94,11 @@ def build_scene_from_clip(
     bg_tracks, *_, bg_colors = data.get_tracks_3d(
         cfg.num_bg_samples, extract_fg=False, rng=rng
     )
-    ext_tracks, ext_colors = data.extend_track3d(bg_tracks)
+    ext_tracks, ext_colors = data.extend_track3d(
+        bg_tracks,
+        grid_size=int(64 / (cfg.video_flow_margin / 0.25)),
+        margin=cfg.video_flow_margin,
+    )
 
     tracks = np.concatenate([fg_tracks, bg_tracks, ext_tracks], axis=0)  # [N,T,3]
     colors = np.concatenate([fg_colors, bg_colors, ext_colors], axis=0)

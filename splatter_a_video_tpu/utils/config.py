@@ -170,6 +170,12 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--gs_config_file", type=str, default=None,
                    help="model-level YAML (frag_gs_v10.yaml equivalent)")
     p.add_argument("--num_track_samples", type=int, default=4096)
+    p.add_argument("--video_flow_margin", type=float, default=0.25,
+                   help="bg border-grid extension margin "
+                        "(reference config.py:48, trainer_fragGS.py:328)")
+    p.add_argument("--start_interval", type=int, default=5,
+                   help="curriculum start interval for the gaussian/flow "
+                        "dataset types (reference train.py:81,201)")
     p.add_argument("--capacity_factor", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--i_print", type=int, default=100)

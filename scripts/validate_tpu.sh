@@ -1,0 +1,18 @@
+#!/bin/bash
+# One-shot TPU validation pipeline (run after kernel/binning changes or a
+# relay outage): quality e2e -> render bench -> train-step bench.
+# Expected (deterministic) e2e numbers: recon PSNR 30.86 SSIM 0.9675;
+# tapvid AJ 48.41 delta 63.55 OA 86.28 TC 0.21.
+set -u
+cd "$(dirname "$0")/.."
+echo "== probe =="
+timeout 120 python -c "
+import jax, jax.numpy as jnp
+print('probe ok', float(jax.jit(lambda x: (x@x.T).sum())(jnp.ones((777,333)))))
+" || { echo "RELAY DOWN — aborting"; exit 1; }
+echo "== e2e (quality) =="
+timeout 1800 python -u scripts/e2e_tpu.py 2>&1 | tail -4
+echo "== bench (render) =="
+timeout 1200 python -u bench.py
+echo "== bench_train (train step) =="
+timeout 1200 python -u scripts/bench_train.py 2>&1 | tail -5

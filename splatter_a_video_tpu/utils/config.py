@@ -231,11 +231,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     args, _ = p.parse_known_args(argv)
     if args.config:
         defaults = parse_flag_file(args.config)
-        known = {a.dest for a in p._actions}
+        known = {a.dest: a for a in p._actions}
+        # list-typed flags (nargs): split the file value into items so
+        # argparse's per-item type applies (e.g. `dataset_weights = 0.8 0.2`)
+        for k, v in list(defaults.items()):
+            a = known.get(k)
+            if a is not None and a.nargs in ("*", "+") and isinstance(v, str):
+                defaults[k] = [a.type(x) if a.type else x for x in v.split()]
         p.set_defaults(**{k: v for k, v in defaults.items() if k in known})
         args, _ = p.parse_known_args(argv)
-        # re-coerce types for file-sourced values
+        # re-coerce scalar types for file-sourced values
         for a in p._actions:
-            if a.dest in defaults and a.type is not None:
+            if (a.dest in defaults and a.type is not None
+                    and a.nargs not in ("*", "+")
+                    and isinstance(getattr(args, a.dest), str)):
                 setattr(args, a.dest, a.type(getattr(args, a.dest)))
     return args

@@ -105,3 +105,15 @@ class TestApplyGsConfig:
 
         d = cfg_lib.parse_structured(D, {"a": 5, "zzz": 9})
         assert d.a == 5 and d.b == 2.0
+
+    def test_flag_file_list_values(self, tmp_path):
+        """nargs flags in a flag file split into typed items."""
+        p = tmp_path / "config.txt"
+        p.write_text("dataset_weights = 0.8 0.2\ndataset_types = simpleGS+gaussian\n")
+        args = cfg_lib.parse_args(["--config", str(p)])
+        assert args.dataset_weights == [0.8, 0.2]
+        assert args.dataset_types == "simpleGS+gaussian"
+        args = cfg_lib.parse_args(
+            ["--config", str(p), "--dataset_weights", "0.5", "0.5"]
+        )
+        assert args.dataset_weights == [0.5, 0.5]

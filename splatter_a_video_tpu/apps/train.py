@@ -63,6 +63,7 @@ def main(argv=None):
         error_resample_every=args.i_cache,
         distributed=bool(args.distributed),
         video_flow_margin=args.video_flow_margin,
+        traj=args.traj,
     )
     tcfg = trainer_lib.TrainerConfig(
         width=W,

@@ -50,10 +50,11 @@ class SceneConfig:
     capacity: int
     num_frames: int
     max_sh_degree: int = 3
-    traj: str = "poly_fourier"  # or "cubic_spline" / "static"
+    traj: str = "poly_fourier"  # or "cubic_spline" / "lbs" / "static"
     poly_dim: int = _traj.POLY_DIM
     fourier_dim: int = _traj.FOURIER_DIM
     frames_per_knot: int = 5
+    num_bones: int = 16         # traj="lbs": shared translation bones
     # name -> channel count of extra blended attributes, e.g.
     # {"mask_attribute": 1, "dino_attribute": 3} (frag_gs_v10.yaml:110-118)
     render_attributes: Tuple[Tuple[str, int], ...] = ()
@@ -115,6 +116,15 @@ class GaussianScene:
         if self.cfg.traj == "static":
             return self.params["position"]
         tn = self.cfg.t_norm(t)
+        if self.cfg.traj == "lbs":
+            return _traj.position_lbs(
+                self.params["position"],
+                self.params["pos_lbs_logits"],
+                self.params["lbs_bone_poly"],
+                self.params["lbs_bone_fourier"],
+                tn,
+                detach_pos=detach_pos,
+            )
         if self.cfg.traj == "cubic_spline":
             return _traj.position_cubic_spline(
                 self.params["position"],
@@ -215,6 +225,18 @@ def create_scene(
             pos_fourier_feat=jnp.zeros((cap, cfg.fourier_dim, 3)),
             rot_poly_feat=jnp.zeros((cap, cfg.poly_dim, 4)),
             rot_fourier_feat=jnp.zeros((cap, cfg.fourier_dim, 4)),
+        )
+    if cfg.traj == "lbs":
+        # small random skinning logits break the bone-gradient symmetry
+        # (zero bones + equal weights would keep all bones identical);
+        # the bone trajectories themselves start at rest
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        params.update(
+            pos_lbs_logits=0.01
+            * jax.random.normal(jax.random.fold_in(key, 1), (cap, cfg.num_bones)),
+            lbs_bone_poly=jnp.zeros((cfg.num_bones, cfg.poly_dim, 3)),
+            lbs_bone_fourier=jnp.zeros((cfg.num_bones, cfg.fourier_dim, 3)),
         )
     for name, dim in cfg.render_attributes:
         if name in ("pos_poly_feat", "pos_fourier_feat", "rot_poly_feat", "rot_fourier_feat"):

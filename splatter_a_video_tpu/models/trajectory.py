@@ -85,6 +85,37 @@ def rotation_poly_fourier(
     return rotation + jax.lax.stop_gradient(delta)
 
 
+def position_lbs(
+    position: jnp.ndarray,
+    skin_logits: jnp.ndarray,
+    bone_poly: jnp.ndarray,
+    bone_fourier: jnp.ndarray,
+    t_norm: jnp.ndarray,
+    detach_pos: bool = False,
+) -> jnp.ndarray:
+    """Linear-blend-skinned center trajectory (translation bones).
+
+    The model family the reference gestures at with its dead
+    `SingleAtlasLBSModel` (`frag_model.py:140`, import removed upstream),
+    made real: K shared bones each carry a poly+Fourier translation
+    trajectory; every gaussian blends them with softmax skinning weights:
+
+        x_i(t) = x_i + sum_k softmax(w_i)_k * bone_k(t)
+
+    Cost is T-independent like the per-point bases but with K*(P+F)*3
+    shared motion parameters instead of N*(P+F)*3 — a strong low-rank
+    motion prior (K << N), and the blend is one [N,K]@[K,3] MXU matmul.
+
+    Args:
+      skin_logits: [N, K] per-gaussian bone logits.
+      bone_poly/bone_fourier: [K, poly_dim, 3] / [K, fourier_dim, 3].
+    """
+    base = jax.lax.stop_gradient(position) if detach_pos else position
+    bone_off = poly_fourier_offset(bone_poly, bone_fourier, t_norm)  # [K, 3]
+    w = jax.nn.softmax(skin_logits, axis=-1)
+    return base + w @ bone_off
+
+
 # --------------------------------------------------------------------------
 # cubic splines
 # --------------------------------------------------------------------------

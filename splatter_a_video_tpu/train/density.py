@@ -133,6 +133,11 @@ def _place_candidates(
     split_pos_off = jnp.einsum("nij,nj->ni", Rm, noise)
     new_params = {}
     for name, val in scene_params.items():
+        if val.ndim == 0 or val.shape[0] != cap:
+            # GLOBAL (non-per-gaussian) parameter — e.g. shared LBS bone
+            # trajectories [K, ...]: density control never touches it
+            new_params[name] = val
+            continue
         child = val[src]
         if name == "position":
             child = jnp.where(

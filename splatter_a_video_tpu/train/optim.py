@@ -42,6 +42,10 @@ DEFAULT_LRS: Dict[str, float] = {
     "rot_fourier_feat": 0.001,
     "mask_attribute": 0.001,
     "dino_attribute": 0.001,
+    # LBS family (no reference counterpart — pos_poly-like rates)
+    "pos_lbs_logits": 0.001,
+    "lbs_bone_poly": 0.001,
+    "lbs_bone_fourier": 0.001,
 }
 
 DEFAULT_SCHEDULES: Dict[str, Tuple[float, float]] = {

@@ -177,6 +177,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
                    help="curriculum start interval for the gaussian/flow "
                         "dataset types (reference train.py:81,201)")
     p.add_argument("--capacity_factor", type=float, default=2.0)
+    p.add_argument("--traj", type=str, default="cubic_spline",
+                   choices=["cubic_spline", "poly_fourier", "lbs"],
+                   help="trajectory family: per-point spline over lifted "
+                        "tracks (production), per-point poly+Fourier bases, "
+                        "or shared LBS translation bones")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--i_print", type=int, default=100)
     p.add_argument("--profile_dir", type=str, default=None,

@@ -289,3 +289,79 @@ class TestPose:
         xi = jnp.array([0.1, 0.0, 0.0, 0.0, 0.0, 0.0])
         out = np.asarray(pose.apply_se3_to_extrinsic(extr, xi))
         np.testing.assert_allclose(out[:, 3], [0.1, 0, 0], atol=1e-6)
+
+
+class TestLBS:
+    """traj='lbs': the model family the reference's dead SingleAtlasLBSModel
+    gestures at (`frag_model.py:140`) — K shared translation bones blended
+    with softmax skinning weights."""
+
+    def _scene(self, cap=128, n=64, K=4):
+        cfg = gaussians.SceneConfig(
+            capacity=cap, num_frames=8, traj="lbs", num_bones=K
+        )
+        rng = np.random.RandomState(0)
+        pos = np.concatenate(
+            [rng.uniform(-0.5, 0.5, (n, 2)), rng.uniform(0.8, 1.2, (n, 1))],
+            axis=1,
+        ).astype(np.float32)
+        return gaussians.create_scene(cfg, pos, rng.rand(n, 3).astype(np.float32))
+
+    def test_identity_at_init_and_blend(self):
+        sc = self._scene()
+        p0 = sc.get_position(0.0)
+        p5 = sc.get_position(5.0)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p5), atol=1e-6)
+        # a single bone translation moves every gaussian by its blend weight
+        params = dict(sc.params)
+        params["lbs_bone_poly"] = params["lbs_bone_poly"].at[0, 1, 0].set(1.0)
+        sc2 = sc.replace(params=params)
+        import jax
+
+        w = np.asarray(jax.nn.softmax(params["pos_lbs_logits"], axis=-1))[:, 0]
+        moved = np.asarray(sc2.get_position(7.0)) - np.asarray(p0)
+        np.testing.assert_allclose(moved[:, 0], w * (7.0 / 7.0), atol=1e-5)
+        np.testing.assert_allclose(moved[:, 1:], 0.0, atol=1e-6)
+
+    def test_gradients_reach_bones_and_weights(self):
+        import jax
+        import jax.numpy as jnp
+
+        sc = self._scene()
+
+        def loss(params):
+            s = sc.replace(params=params)
+            return jnp.sum(s.get_position(3.0) ** 2)
+
+        g = jax.grad(loss)(sc.params)
+        assert np.isfinite(np.asarray(g["lbs_bone_poly"])).all()
+        assert np.abs(np.asarray(g["position"])).max() > 0
+
+    def test_density_leaves_global_bones_untouched(self):
+        from splatter_a_video_tpu.train import density, optim
+
+        import jax
+        import jax.numpy as jnp
+
+        sc = self._scene()
+        params = dict(sc.params)
+        params["lbs_bone_poly"] = params["lbs_bone_poly"].at[1, 2, 1].set(0.7)
+        sc = sc.replace(params=params)
+        opt = optim.make_optimizer(optim.OptimConfig())
+        opt_state = opt.init(sc.params)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((128,)),
+            pos_grad_accum=jnp.zeros((128,)).at[:5].set(1.0),
+            denom=jnp.ones((128,)),
+        )
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=10.0)
+        sc2, *_ , info = density.densify_and_prune(
+            sc, opt_state, dstate, jnp.asarray(100), cfg, jax.random.PRNGKey(0)
+        )
+        assert int(info.num_cloned) == 5
+        np.testing.assert_array_equal(
+            np.asarray(sc2.params["lbs_bone_poly"]),
+            np.asarray(sc.params["lbs_bone_poly"]),
+        )
+        # per-gaussian skinning logits DID get cloned rows
+        assert sc2.params["pos_lbs_logits"].shape == (128, 4)

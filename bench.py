@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 149.0
 
+# One global wall-clock deadline for the whole bench (probe + all configs),
+# chosen to sit comfortably under any plausible driver timeout. Every
+# per-phase SIGALRM watchdog is clipped to the remaining global budget, so
+# a dead relay can never leave the driver with rc=124 and no JSON
+# (the BENCH_r02 failure mode: 4 configs x 900 s compile watchdogs).
+GLOBAL_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+_T_START = time.time()
+
+
+def _remaining():
+    return GLOBAL_BUDGET_S - (time.time() - _T_START)
+
 
 class Timeout(Exception):
     pass
@@ -35,6 +47,29 @@ def _alarm(sec):
 
 def _clear():
     signal.alarm(0)
+
+
+def _alarm_budgeted(sec):
+    """SIGALRM clipped to the remaining global budget (min 1 s so the
+    Timeout fires immediately rather than hanging when budget is gone)."""
+    _alarm(max(1, min(int(sec), int(_remaining()))))
+
+
+def probe_backend(timeout_s=60):
+    """Fast proof the device answers before any expensive compile.
+
+    A trivial jit on a dead axon relay hangs in compile; 60 s is ~2x the
+    worst observed healthy first-compile of this one-matmul program."""
+    import jax
+    import jax.numpy as jnp
+
+    _alarm_budgeted(timeout_s)
+    try:
+        v = float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((777, 333))))
+        dev = str(jax.devices()[0])
+    finally:
+        _clear()
+    print(f"# probe ok ({dev}): {v}", file=sys.stderr)
 
 
 def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
@@ -94,7 +129,7 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         )
         return out.features["rgb"], out.num_intersections
 
-    _alarm(compile_timeout)
+    _alarm_budgeted(compile_timeout)
     try:
         rgb, n_int = probe(xyz)
         rgb.block_until_ready()
@@ -124,7 +159,7 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
             frame, jnp.arange(batch, dtype=jnp.float32)
         )
 
-    _alarm(compile_timeout)
+    _alarm_budgeted(compile_timeout)
     try:
         rgb, n1 = render(xyz, scale, quat, opacity, shs)
         rgb.block_until_ready()
@@ -162,6 +197,7 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         best = min(best, (time.time() - t0) / reps)
     fps_single = 1.0 / best
     print(f"# single-dispatch: {fps_single:.1f} FPS", file=sys.stderr)
+    dev_ms = None
 
     # relay-independent ground truth: per-frame device-executable time from
     # a profiler trace (the axon relay adds 0.5-1.2 ms RPC per dispatch that
@@ -209,13 +245,41 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
     for _ in range(reps):
         clip, _ = render_clip(xyz, scale, quat, opacity, shs)
     clip.block_until_ready()
-    return reps * batch / (time.time() - t0)
+    fps_batched = reps * batch / (time.time() - t0)
+    return {
+        "fps": fps_batched,
+        "single_dispatch_fps": round(fps_single, 1),
+        "device_ms_per_frame": round(dev_ms, 2) if dev_ms is not None else None,
+    }
 
 
-def main():
+def run():
+    """Returns the result dict to print; raises only on programmer error."""
     from splatter_a_video_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Fail fast if the backend is dead: a 60 s probe instead of hours of
+    # hung compiles (the 2026-08-17 relay outage burned the round-2 bench
+    # slot exactly this way).
+    try:
+        probe_backend()
+    except Timeout:
+        return {
+            "metric": "render_fps_480p_100k",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "backend probe timed out (relay down?)",
+        }
+    except Exception as e:  # noqa: BLE001
+        return {
+            "metric": "render_fps_480p_100k",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"backend probe failed: {type(e).__name__}: {e}",
+        }
 
     configs = [
         # (W, H, N, max_intersections, label); the flagship config is
@@ -225,36 +289,52 @@ def main():
         (320, 240, 20_000, 1 << 18, "240p_20k"),
         (854, 480, 100_000, 3 << 17, "480p_100k"),
     ]
+    errors = []
     for W, H, N, mi, label in configs:
+        if _remaining() < 60:
+            errors.append("global budget exhausted")
+            break
         try:
-            fps = bench_render(W, H, N, mi)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"render_fps_{label}",
-                        "value": round(fps, 1),
-                        "unit": "frames/s (854x480 rgb+depth render, 100k gaussians)"
-                        if label == "480p_100k"
-                        else f"frames/s ({label} fallback config)",
-                        "vs_baseline": round(fps / BASELINE_FPS, 3),
-                    }
-                )
-            )
-            return
+            stats = bench_render(W, H, N, mi)
+            return {
+                "metric": f"render_fps_{label}",
+                "value": round(stats["fps"], 1),
+                "unit": "frames/s (854x480 rgb+depth render, 100k gaussians)"
+                if label == "480p_100k"
+                else f"frames/s ({label} fallback config)",
+                "vs_baseline": round(stats["fps"] / BASELINE_FPS, 3),
+                "single_dispatch_fps": stats["single_dispatch_fps"],
+                "device_ms_per_frame": stats["device_ms_per_frame"],
+            }
         except Timeout:
+            errors.append(f"{label}: watchdog")
             print(f"# {label}: compile watchdog fired, falling back", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
+            errors.append(f"{label}: {type(e).__name__}: {e}")
             print(f"# {label}: {type(e).__name__}: {e}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "render_fps_480p_100k",
-                "value": 0.0,
-                "unit": "frames/s",
-                "vs_baseline": 0.0,
-            }
-        )
-    )
+    return {
+        "metric": "render_fps_480p_100k",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "error": "; ".join(errors) or "no config completed",
+    }
+
+
+def main():
+    # The one invariant: this process always prints exactly one JSON line,
+    # whatever happens above it.
+    try:
+        result = run()
+    except BaseException as e:  # noqa: BLE001 - incl. KeyboardInterrupt from drivers
+        result = {
+            "metric": "render_fps_480p_100k",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"unhandled: {type(e).__name__}: {e}",
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -48,22 +48,16 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
     optimizer = _optim.make_optimizer(cfg.optim)
     ndev = mesh.devices.size
 
-    def per_pair_loss(params, aux, scene_cfg, batch: _trainer.Batch, key):
+    def per_pair_loss(params, aux, scene_cfg, batch: _trainer.Batch, key, step):
         scene = GaussianScene(params=params, aux=aux, cfg=scene_cfg)
-        N = scene.alive.shape[0]
-        inp1 = _trainer.scene_render_inputs(scene, batch.t1)
-        pos2 = scene.get_position(batch.t2)
-        extra = {"track_gs": pos2}
-        for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
-            if name in inp1:
-                extra[name] = inp1[name]
 
         def inner(params2, uv_sink, abs_sink):
             sc = GaussianScene(params=params2, aux=aux, cfg=scene_cfg)
             inp = _trainer.scene_render_inputs(sc, batch.t1)
             p2 = sc.get_position(batch.t2)
             ex = {"track_gs": p2}
-            if cfg.train_render_attributes:
+            if (cfg.train_render_attributes or cfg.mask_attr_weight
+                    or cfg.dino_attr_weight):
                 for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
                     if name in inp:
                         ex[name] = inp[name]
@@ -101,6 +95,49 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
                 "loss_rgb": loss_rgb,
                 "psnr": _losses.psnr(pred_rgb, batch.rgb1),
             }
+            # Capability attribute losses — same terms as the single-chip
+            # step (train/trainer.py) so --distributed trains the same
+            # objective for the same flags.
+            if cfg.mask_attr_weight:
+                loss_mask = jnp.mean(
+                    (out.features["mask_attribute"][..., 0] - batch.mask1) ** 2
+                )
+                loss = loss + cfg.mask_attr_weight * loss_mask
+                metrics["loss_mask_attr"] = loss_mask
+            if cfg.dino_attr_weight:
+                loss_dino = jnp.mean(
+                    (out.features["dino_attribute"] - batch.dino1) ** 2
+                )
+                loss = loss + cfg.dino_attr_weight * loss_dino
+                metrics["loss_dino_attr"] = loss_dino
+            if cfg.fg_layer_weight:
+                fg_sel = jax.lax.stop_gradient(inp["mask_attribute"][:, 0] > 0.5)
+                inp_fg = {
+                    **inp,
+                    "opacity": jnp.where(fg_sel, inp["opacity"], 0.0),
+                }
+                out_fg = _trainer._render_with_sinks(
+                    inp_fg, extr_j, rcfg,
+                    {"mask_attribute": inp["mask_attribute"]},
+                    False,
+                    jax.lax.stop_gradient(uv_sink),
+                    jax.lax.stop_gradient(abs_sink),
+                    depth_bg=cfg.depth_bg,
+                )
+                gt_mask1 = batch.mask1[..., None]
+                loss_rgb_fg = jnp.mean(
+                    (out_fg.features["rgb"] - batch.rgb1 * gt_mask1) ** 2
+                )
+                loss_mask_fg = jnp.mean(
+                    (out_fg.features["mask_attribute"] - gt_mask1) ** 2
+                )
+                w_fg = jnp.where(
+                    step > cfg.fg_layer_start_iter, cfg.fg_layer_weight, 0.0
+                )
+                loss = loss + w_fg * (loss_rgb_fg + loss_mask_fg)
+                metrics["loss_rgb_fg"] = loss_rgb_fg
+                metrics["loss_mask_fg"] = loss_mask_fg
+            metrics["loss"] = loss
             return loss, (metrics, out.radius)
 
         N = scene.alive.shape[0]
@@ -123,7 +160,8 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
         local = jax.tree_util.tree_map(lambda x: x[0], batch)
         key, sub = jax.random.split(state.key)
         grads, duv, radius, metrics = per_pair_loss(
-            state.scene.params, state.scene.aux, state.scene.cfg, local, sub
+            state.scene.params, state.scene.aux, state.scene.cfg, local, sub,
+            state.step,
         )
         # ICI reductions
         grads = jax.lax.pmean(grads, "dp")

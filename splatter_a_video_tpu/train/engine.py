@@ -369,6 +369,10 @@ class Engine:
             self.metrics.update({k: float(v) for k, v in metrics.items()})
             self.ctx.step = it
             self.ctx.metrics = self.metrics
+            # state/hooks must be on the ctx or a CheckPointHook is a
+            # silent no-op (its guard is `ctx.state is not None`)
+            self.ctx.state = self.state
+            self.ctx.hooks = self.hooks
             _hooks.run_hooks(self.hooks, "after_train_iter", self.ctx)
 
             if self.val_batches and (it + 1) % cfg.val_interval == 0:

@@ -293,6 +293,21 @@ def fit_clip(
     image_every = max(
         [getattr(h, "image_every", 0) or 0 for h in hooks], default=0
     )
+    # after_train_iter must also fire on every hook's own cadence — a
+    # CheckPointHook(every=250) with log_every=100 would otherwise only
+    # save at multiples of 500 (lcm) while appearing configured correctly
+    hook_cadences = sorted(
+        {
+            c
+            for h in hooks
+            for c in (
+                getattr(h, "every", 0),
+                getattr(h, "print_every", 0),
+                getattr(h, "image_every", 0),
+            )
+            if c
+        }
+    )
     render_panels = None
     if image_every > 0 or fit_cfg.val_every > 0:
         render_panels = _make_panel_fn(data, trainer_cfg, cam)
@@ -343,19 +358,21 @@ def fit_clip(
             sampler.cfg.error_weights = errs  # biases subsequent id1 draws
             if out_dir is not None:
                 np.savetxt(os.path.join(out_dir, "flow_error.txt"), errs)
-        if step % fit_cfg.log_every == 0 or step == fit_cfg.num_iters:
+        fire_log = step % fit_cfg.log_every == 0 or step == fit_cfg.num_iters
+        if fire_log or any(step % c == 0 for c in hook_cadences):
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step
             m["alive"] = int(state.scene.num_alive)
             m["wall_s"] = time.time() - t_start
-            history.append(m)
-            if fit_cfg.nan_guard and not np.isfinite(m.get("loss", 0.0)):
-                raise FloatingPointError(
-                    f"non-finite loss at step {step}: {m} "
-                    "(reference behavior: pdb trap, trainer_fragGS.py:754)"
-                )
-            if callback:
-                callback(step, m)
+            if fire_log:
+                history.append(m)
+                if fit_cfg.nan_guard and not np.isfinite(m.get("loss", 0.0)):
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {m} "
+                        "(reference behavior: pdb trap, trainer_fragGS.py:754)"
+                    )
+                if callback:
+                    callback(step, m)
             ctx.step = step
             ctx.metrics = m
             ctx.state = state

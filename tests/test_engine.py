@@ -199,6 +199,30 @@ class TestEngine:
         assert calls.count("after_train_iter") == 4
         assert calls.count("after_val") == 2
 
+    def test_checkpoint_hook_saves(self, dataset, tmp_path):
+        """Engine must put state+hooks on the ctx so CheckPointHook's
+        `ctx.state is not None` guard passes and peers get
+        before_save_checkpoint."""
+        train_frames, val_frames = dataset
+        out = tmp_path / "o6"
+
+        notified = []
+
+        class Peer(hooks_lib.Hook):
+            def before_save_checkpoint(self, ctx):
+                notified.append(ctx.step)
+
+        eng = engine_lib.Engine(
+            _small_cfg(), train_frames, val_frames, out_dir=str(out),
+            hooks=[hooks_lib.CheckPointHook(every=2), Peer()],
+        )
+        eng.train(num_steps=4)
+        # steps are 0-based: every=2 fires at it=0 and it=2; after_train
+        # saves the final state at it=3
+        assert (out / "ckpt_000002").exists(), "every=2 checkpoint missing"
+        assert (out / "ckpt_000003").exists(), "final after_train save missing"
+        assert 2 in notified
+
     def test_mismatched_camera_size_raises(self, dataset, tmp_path):
         train_frames, _ = dataset
         with pytest.raises(ValueError, match="uniform sizes"):

@@ -163,3 +163,24 @@ class TestObservability:
         if tb.exists():  # torch summary writer available
             evs = list(tb.glob("events.*"))
             assert evs and evs[0].stat().st_size > 500
+
+    def test_checkpoint_cadence_not_multiple_of_log_every(self, clip, tmp_path):
+        """CheckPointHook(every=7) must save at steps 7 and 14 even with
+        log_every=10 (the hook cadence is independent of the log cadence)."""
+        from splatter_a_video_tpu.train import hooks as hooks_lib
+
+        fcfg = fit.FitConfig(
+            num_iters=14, num_fg_samples=100, num_bg_samples=100,
+            num_track_samples=64, log_every=10,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=64, height=48, num_frames=clip.num_frames,
+            num_track_samples=64, max_intersections=1 << 14,
+            arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=14),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        ckpt = hooks_lib.CheckPointHook(every=7)
+        fit.fit_clip(clip, fcfg, tcfg, hooks=[ckpt], out_dir=str(tmp_path))
+        assert (tmp_path / "ckpt_000007").exists(), "every=7 checkpoint missing"
+        assert (tmp_path / "ckpt_000014").exists()

@@ -125,3 +125,65 @@ class TestDataParallelStep:
             False,
         )
         assert moved
+
+    @pytest.mark.slow
+    def test_dp_attribute_losses_match_single_chip(self):
+        """--distributed must train the same objective as single-chip for
+        the same flags: the mask/dino/fg-layer capability losses reduce to
+        identical loss values when every chip sees the same pair."""
+        W, H, T = 96, 64, 8
+        N = 1024
+        rng = np.random.RandomState(2)
+        pos = np.concatenate(
+            [rng.uniform(-0.9, 0.9, (N, 2)), rng.uniform(0.6, 1.8, (N, 1))], 1
+        ).astype(np.float32)
+        scfg = gaussians.SceneConfig(
+            capacity=N, num_frames=T,
+            render_attributes=(("mask_attribute", 1), ("dino_attribute", 3)),
+        )
+        scene = gaussians.create_scene(
+            scfg, pos, rng.rand(N, 3).astype(np.float32), init_opacity=0.7
+        )
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=T, num_track_samples=64,
+            max_intersections=1 << 15, optim=optim.OptimConfig(max_steps=100),
+            mask_attr_weight=20.0, dino_attr_weight=20.0,
+            fg_layer_weight=20.0, fg_layer_start_iter=0,
+        )
+        cam = camera.canonical_camera(W, H)
+        qp = rng.uniform(0, [W - 1, H - 1], (64, 2)).astype(np.float32)
+        pair = trainer.Batch(
+            t1=jnp.zeros((), jnp.int32),
+            t2=jnp.full((), 4, jnp.int32),
+            rgb1=jnp.asarray(rng.rand(H, W, 3).astype(np.float32)),
+            depth1=jnp.asarray(rng.rand(H, W).astype(np.float32) + 0.5),
+            query_px=jnp.asarray(qp),
+            target_tracks=jnp.asarray(
+                np.concatenate([qp, -5 * np.ones((64, 2))], -1).astype(np.float32)
+            ),
+            track_valid=jnp.ones((64,), bool),
+            mask1=jnp.asarray((rng.rand(H, W) > 0.5).astype(np.float32)),
+            dino1=jnp.asarray(rng.rand(H, W, 3).astype(np.float32)),
+        )
+        # single-chip reference step
+        sstep, _, _ = trainer.make_train_step(tcfg, np.asarray(cam.extrinsic))
+        state = trainer.init_train_state(tcfg, scene)
+        # step>fg_layer_start_iter so the fg term engages in both paths
+        state = state._replace(step=jnp.ones((), jnp.int32))
+        _, m_single = sstep(state, pair)
+        # dp step: the same pair replicated on all 8 chips
+        m = mesh_lib.make_mesh(8)
+        dstep = dp.make_dp_train_step(tcfg, np.asarray(cam.extrinsic), m)
+        rep = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (8,) + jnp.shape(x)), pair
+        )
+        _, m_dp = dstep(state, rep)
+        for k in ("loss_mask_attr", "loss_dino_attr", "loss_rgb_fg",
+                  "loss_mask_fg"):
+            assert k in m_dp, f"distributed step dropped {k}"
+            np.testing.assert_allclose(
+                float(m_dp[k]), float(m_single[k]), rtol=1e-5, err_msg=k
+            )
+        np.testing.assert_allclose(
+            float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-5
+        )

@@ -64,6 +64,9 @@ def main(argv=None):
         distributed=bool(args.distributed),
         video_flow_margin=args.video_flow_margin,
         traj=args.traj,
+        refine_camera=bool(args.refine_camera),
+        camera_lr=args.camera_lr,
+        camera_warmup=args.camera_warmup,
     )
     tcfg = trainer_lib.TrainerConfig(
         width=W,

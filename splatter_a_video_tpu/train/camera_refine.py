@@ -82,6 +82,36 @@ def refine_camera_poses(
     return np.asarray(xi), {"loss_first": loss0, "loss_last": float(loss)}
 
 
+def make_cam_optimizer(
+    cam_lr: float, cam_warmup_iters: int = 0, warmup_scale: float = 10.0,
+    decay_steps: int = 0,
+) -> optax.GradientTransformation:
+    """Adam for the camera twists. With warmup, the lr starts at
+    `cam_lr * warmup_scale` and drops to `cam_lr` after `cam_warmup_iters`
+    steps (the joint step freezes the scene during that window); with
+    `decay_steps`, the post-warmup lr cosine-decays to 0 over that many
+    steps — BARF-style pose annealing, which bounds the gauge drift of the
+    twists over long runs (Adam's scale-normalized updates otherwise
+    random-walk along the directions the free scene trajectories can
+    absorb). The init side (`fit.fit_clip`) must build its opt state with
+    the SAME optimizer — scheduled and constant-lr Adam states differ in
+    tree structure."""
+    if cam_warmup_iters <= 0 and decay_steps <= 0:
+        return optax.adam(cam_lr)
+    scheds, bounds = [], []
+    if cam_warmup_iters > 0:
+        scheds.append(optax.constant_schedule(cam_lr * warmup_scale))
+        bounds.append(cam_warmup_iters)
+    if decay_steps > 0:
+        scheds.append(optax.cosine_decay_schedule(cam_lr, decay_steps))
+    else:
+        scheds.append(optax.constant_schedule(cam_lr))
+    sched = scheds[0] if len(scheds) == 1 else optax.join_schedules(
+        scheds, bounds
+    )
+    return optax.adam(sched)
+
+
 class CamTrainState(NamedTuple):
     """TrainState + per-frame camera twists and their optimizer state."""
 
@@ -96,19 +126,42 @@ def init_cam_train_state(
 ) -> CamTrainState:
     base = _trainer.init_train_state(cfg, scene, seed=seed)
     xi = jnp.zeros((cfg.num_frames, 6), jnp.float32)
-    return CamTrainState(base, xi, optax.adam(cam_lr).init(xi))
+    return CamTrainState(base, xi, make_cam_optimizer(cam_lr).init(xi))
 
 
 def make_joint_train_step(
-    cfg: _trainer.TrainerConfig, extr: np.ndarray, cam_lr: float = 1e-4
+    cfg: _trainer.TrainerConfig, extr: np.ndarray, cam_lr: float = 1e-4,
+    cam_prior_weight: float = 1e-2, cam_warmup_iters: int = 0,
+    cam_lr_warmup_scale: float = 10.0, cam_decay_steps: int = 0,
 ):
     """Train-step variant optimizing scene params AND per-frame camera
     twists jointly (rgb + tracking + depth losses; ARAP is camera-free and
-    follows `trainer.make_train_step` when enabled)."""
+    follows `trainer.make_train_step` when enabled).
+
+    GAUGE NOTE. In this product the scene's per-frame trajectories are
+    free enough to absorb any per-frame camera motion (the initialization
+    itself bakes observed motion into the trajectories), so the data
+    losses do not pin the twists: camera refinement here is *gauge
+    selection* — factoring global motion out of the trajectories — not a
+    pose estimator. Recovery of a known pose perturbation is well-posed
+    only against a FIXED fitted scene (`refine_camera_poses`; see
+    `tests/test_camera_refine.py::TestPoseRecovery`). Three mechanisms
+    keep the joint path sane:
+
+    * cam_prior_weight: L2 prior on the twists — selects the
+      minimal-norm pose solution (anchors to the canonical frame).
+    * cam_warmup_iters: scene gradients zeroed for the first K steps
+      (pose-only alignment while the scene cannot absorb), with camera lr
+      boosted by `cam_lr_warmup_scale`.
+    * cam_decay_steps: post-warmup cosine decay of the camera lr to 0 —
+      without it, Adam's scale-normalized updates random-walk the twists
+      along the gauge directions at ~lr per step indefinitely."""
     rcfg = cfg.raster_cfg()
     extr0 = jnp.asarray(extr, jnp.float32)
     scene_opt = _optim.make_optimizer(cfg.optim)
-    cam_opt = optax.adam(cam_lr)
+    cam_opt = make_cam_optimizer(
+        cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
+    )
 
     @jax.jit
     def step(state: CamTrainState, batch: _trainer.Batch):
@@ -152,12 +205,19 @@ def make_joint_train_step(
                     k=cfg.arap_knn, sample_num=cfg.arap_sample_num,
                     alive=sc.alive,
                 )
+            if cam_prior_weight:
+                loss = loss + cam_prior_weight * jnp.sum(xi * xi)
             metrics = {"loss": loss, "psnr": _losses.psnr(pred_rgb, batch.rgb1)}
             return loss, metrics
 
         (gp, gxi), metrics = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
             scene.params, state.cam_xi
         )
+        if cam_warmup_iters > 0:
+            # pose-only warmup: zero the scene gradients (Adam moments stay
+            # at 0, so the scene's post-warmup dynamics are unperturbed)
+            scale = jnp.where(ts.step < cam_warmup_iters, 0.0, 1.0)
+            gp = jax.tree_util.tree_map(lambda g: g * scale, gp)
         up, opt_state = scene_opt.update(gp, ts.opt_state, scene.params)
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, scene.params, up)
         cup, cam_opt_state = cam_opt.update(gxi, state.cam_opt_state, state.cam_xi)

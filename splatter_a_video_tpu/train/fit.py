@@ -78,6 +78,22 @@ class FitConfig:
     # (the pointrix validation path, `log_hook.py:66-158`). 0 = off.
     val_every: int = 0
     val_frames: int = 4
+    # joint scene + per-frame camera refinement: optimize se(3) pose
+    # twists alongside the scene (`camera_refine.make_joint_train_step`).
+    # Exceeds the reference, whose `TrainableCamera`
+    # (`src/pointrix/camera/camera.py:390-515`) is never wired into its
+    # trainer. Refined twists are written to `out_dir/camera_xi.npy`.
+    refine_camera: bool = False
+    camera_lr: float = 1e-4
+    # L2 prior anchoring twists to the canonical pose (gauge fixing —
+    # see `make_joint_train_step`)
+    camera_prior: float = 1e-2
+    # BARF-style pose-only warmup: scene gradients are zeroed and the
+    # camera lr is boosted 10x for the first K steps, so initial pose
+    # error is recovered before the (gauge-free) scene can absorb it
+    camera_warmup: int = 0
+    # initial per-frame twists [T, 6] (warm start / perturbation tests)
+    camera_init_xi: Optional[np.ndarray] = None
 
 
 def build_scene_from_clip(
@@ -253,6 +269,46 @@ def fit_clip(
     train_step, density_step, opacity_reset = _trainer.make_train_step(
         trainer_cfg, cam.extrinsic
     )
+    cam_refine_state = None
+    if fit_cfg.refine_camera:
+        if fit_cfg.distributed:
+            raise ValueError(
+                "refine_camera is not supported with distributed=True "
+                "(per-frame twists would need cross-chip reduction)"
+            )
+        from . import camera_refine as _cam_refine
+
+        # cosine-decay the camera lr to 0 over the post-warmup iters:
+        # bounds the gauge drift of the twists (see camera_refine.py)
+        cam_decay = max(fit_cfg.num_iters - fit_cfg.camera_warmup, 1)
+        _joint_step = _cam_refine.make_joint_train_step(
+            trainer_cfg, cam.extrinsic, cam_lr=fit_cfg.camera_lr,
+            cam_prior_weight=fit_cfg.camera_prior,
+            cam_warmup_iters=fit_cfg.camera_warmup,
+            cam_decay_steps=cam_decay,
+        )
+        xi0 = (
+            jnp.asarray(fit_cfg.camera_init_xi, jnp.float32)
+            if fit_cfg.camera_init_xi is not None
+            else jnp.zeros((trainer_cfg.num_frames, 6), jnp.float32)
+        )
+        cam_refine_state = {
+            "xi": xi0,
+            "opt": _cam_refine.make_cam_optimizer(
+                fit_cfg.camera_lr, fit_cfg.camera_warmup,
+                decay_steps=cam_decay,
+            ).init(xi0),
+        }
+
+        def train_step(state, batch, _js=_joint_step, _cs=cam_refine_state):
+            cs, metrics = _js(
+                _cam_refine.CamTrainState(state, _cs["xi"], _cs["opt"]), batch
+            )
+            _cs["xi"], _cs["opt"] = cs.cam_xi, cs.cam_opt_state
+            metrics = dict(metrics)
+            metrics["cam_xi_norm"] = jnp.linalg.norm(cs.cam_xi)
+            return cs.base, metrics
+
     ndev = 1
     if fit_cfg.distributed:
         from ..parallel import dp as _dp
@@ -394,6 +450,11 @@ def fit_clip(
         jax.profiler.stop_trace()
     ctx.step = int(state.step)
     ctx.state = state
+    if cam_refine_state is not None:
+        xi = np.asarray(cam_refine_state["xi"])
+        ctx.camera_xi = xi
+        if out_dir is not None:
+            np.save(os.path.join(out_dir, "camera_xi.npy"), xi)
     run_hooks(hooks, "after_train", ctx)
     run_hooks(hooks, "after_run", ctx)
     return state, history

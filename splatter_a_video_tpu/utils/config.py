@@ -203,6 +203,18 @@ def make_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensorboard", type=int, default=1)
     p.add_argument("--synthetic", action="store_true",
                    help="use the built-in synthetic clip (no datadir needed)")
+    p.add_argument("--refine_camera", type=int, default=0,
+                   help="jointly optimize per-frame se(3) camera twists "
+                        "with the scene (camera_refine.py); refined twists "
+                        "are written to out_dir/camera_xi.npy. Exceeds the "
+                        "reference's never-wired TrainableCamera "
+                        "(pointrix/camera/camera.py:390-515)")
+    p.add_argument("--camera_lr", type=float, default=1e-4,
+                   help="Adam lr for the camera twists (--refine_camera)")
+    p.add_argument("--camera_warmup", type=int, default=0,
+                   help="pose-only warmup steps: scene gradients frozen, "
+                        "camera lr boosted 10x (recover bad initial poses "
+                        "before the scene absorbs them)")
     p.add_argument("--distributed", type=int, default=0,
                    help="data-parallel over all local devices")
     p.add_argument("--dataset_types", type=str, default="simpleGS",

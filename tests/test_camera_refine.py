@@ -106,3 +106,97 @@ class TestJointStep:
         assert losses[-1] < losses[0]
         assert np.abs(np.asarray(state.cam_xi)).max() > 0  # camera moved
         assert int(state.base.step) == 6
+
+
+@pytest.mark.slow
+class TestFitClipIntegration:
+    def test_fit_clip_joint_refinement(self, tmp_path):
+        """`fit_clip(refine_camera=True)` end-to-end. In this product the
+        per-frame trajectories are gauge-equivalent to per-frame camera
+        motion (the init bakes observed motion into the trajectories), so
+        the joint path is *gauge selection*, not pose estimation — the
+        guarantees to test are: training converges as usual, the twist
+        prior + cosine lr decay keep the twists bounded, and the refined
+        twists are exported. (Well-posed pose *recovery* is covered by
+        TestPoseRecovery against a fixed scene.)"""
+        from splatter_a_video_tpu.data import synthetic
+        from splatter_a_video_tpu.train import density, fit, optim, trainer
+
+        clip = synthetic.make_clip(
+            synthetic.SyntheticClipConfig(width=W, height=H, num_frames=8)
+        )
+        T = clip.num_frames
+        rng = np.random.RandomState(0)
+        xi0 = np.zeros((T, 6), np.float32)
+        xi0[:, 3:5] = rng.uniform(-0.01, 0.01, (T, 2))
+        fcfg = fit.FitConfig(
+            num_iters=120, num_fg_samples=200, num_bg_samples=200,
+            num_track_samples=64, log_every=40,
+            refine_camera=True, camera_lr=3e-4,
+            camera_init_xi=xi0,
+        )
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=T, num_track_samples=64,
+            max_intersections=1 << 14, arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=120),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        state, hist = fit.fit_clip(
+            clip, fcfg, tcfg, out_dir=str(tmp_path)
+        )
+        xi_path = tmp_path / "camera_xi.npy"
+        assert xi_path.exists(), "refined twists not exported"
+        xi = np.load(xi_path)
+        assert xi.shape == (T, 6) and np.isfinite(xi).all()
+        # prior + lr decay keep the gauge drift bounded
+        assert np.linalg.norm(xi) < 0.15, np.linalg.norm(xi)
+        # joint training still converges (loss drops vs the first record)
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["loss"] < hist[0]["loss"]
+        assert "cam_xi_norm" in hist[-1]
+
+    def test_fit_clip_warmup_is_pose_only(self):
+        """During `camera_warmup` the scene must not move (gradients
+        zeroed) while the twists do."""
+        import jax.numpy as jnp
+
+        from splatter_a_video_tpu.data import pairs, synthetic
+        from splatter_a_video_tpu.models import camera as cam_mod
+        from splatter_a_video_tpu.train import (
+            camera_refine, density, fit, optim, trainer)
+
+        clip = synthetic.make_clip(
+            synthetic.SyntheticClipConfig(width=W, height=H, num_frames=4)
+        )
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=4, num_track_samples=64,
+            max_intersections=1 << 14, arap_sample_num=64,
+            optim=optim.OptimConfig(max_steps=20),
+            densify=density.DensifyConfig(densify_start_iter=10**9),
+        )
+        scene, _ = fit.build_scene_from_clip(
+            clip, fit.FitConfig(num_fg_samples=200, num_bg_samples=200)
+        )
+        cam = cam_mod.canonical_camera(W, H)
+        step = camera_refine.make_joint_train_step(
+            tcfg, cam.extrinsic, cam_lr=1e-3, cam_warmup_iters=3,
+        )
+        st = camera_refine.init_cam_train_state(tcfg, scene, cam_lr=1e-3)
+        st = st._replace(cam_opt_state=camera_refine.make_cam_optimizer(
+            1e-3, 3).init(st.cam_xi))
+        builder = pairs.BatchBuilder(clip, 64)
+        pos0 = np.asarray(scene.params["position"])
+        # 2 steps inside warmup: scene frozen, camera moved
+        for i in range(2):
+            st, _ = step(st, builder.build(i % 4, (i + 1) % 4))
+        np.testing.assert_array_equal(
+            np.asarray(st.base.scene.params["position"]), pos0
+        )
+        assert np.abs(np.asarray(st.cam_xi)).max() > 0
+        # 2 more steps past warmup: scene moves
+        for i in range(2, 4):
+            st, _ = step(st, builder.build(i % 4, (i + 1) % 4))
+        assert np.abs(
+            np.asarray(st.base.scene.params["position"]) - pos0
+        ).max() > 0
+        assert bool(jnp.isfinite(st.cam_xi).all())

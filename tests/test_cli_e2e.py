@@ -101,3 +101,21 @@ class TestDavisLayoutPipeline:
             if os.path.exists(p)
         ] or [p for p in os.listdir(str(tmp_path)) if p.startswith("edited")]
         assert eproduced, "edit produced no output"
+
+    def test_refine_camera_flag(self, davis_dir, tmp_path):
+        """--refine_camera reaches fit_clip and exports camera_xi.npy."""
+        from splatter_a_video_tpu.apps import train as train_app
+
+        out = str(tmp_path / "run_cam")
+        state = train_app.main([
+            "--datadir", str(davis_dir), "--seq_name", "seq",
+            "--out_dir", out, "--num_iters", "20", "--i_print", "10",
+            "--num_track_samples", "64", "--tensorboard", "0",
+            "--max_intersections", str(1 << 14),
+            "--refine_camera", "1", "--camera_lr", "1e-3",
+        ])
+        assert int(state.step) == 20
+        xi = np.load(os.path.join(out, "camera_xi.npy"))
+        assert xi.shape == (8, 6) and np.isfinite(xi).all()
+        # the joint step actually moved the camera parameters
+        assert np.abs(xi).max() > 0

@@ -17,12 +17,12 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="depth-anything/Depth-Anything-V2-Small-hf",
                     help="HF model id or local checkpoint dir")
     ap.add_argument("--out", default="weights/depth_anything.npz")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from transformers import AutoModelForDepthEstimation
 
@@ -30,7 +30,8 @@ def main():
 
     model = AutoModelForDepthEstimation.from_pretrained(args.model)
     bcfg = model.config.backbone_config
-    params = da.params_from_torch(model.state_dict())
+    # strict: every checkpoint key must be consumed (upstream-rename guard)
+    params = da.params_from_torch(model.state_dict(), strict=True)
     da.save_params(
         args.out, params,
         num_heads=bcfg.num_attention_heads,

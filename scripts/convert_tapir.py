@@ -17,11 +17,11 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="torch TAPIR state_dict (.pt)")
     ap.add_argument("--out", default="weights/tapir.npz")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import torch
 
@@ -34,7 +34,9 @@ def main():
             if key in sd:
                 sd = sd[key]
                 break
-    params = tapir.params_from_torch(sd)
+    # strict: every checkpoint key must be consumed — an upstream rename
+    # of the block-pattern keys would otherwise silently convert nothing
+    params = tapir.params_from_torch(sd, strict=True)
     tapir.save_params(args.out, params)
     print(f"wrote {args.out}: {len(params)} arrays")
 

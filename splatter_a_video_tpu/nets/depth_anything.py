@@ -114,8 +114,15 @@ def random_params(cfg: DepthAnythingConfig, seed: int = 0) -> Dict[str, np.ndarr
     return p
 
 
-def params_from_torch(sd) -> Dict[str, np.ndarray]:
-    """Convert a `DepthAnythingForDepthEstimation` torch state_dict."""
+def params_from_torch(sd, strict: bool = False) -> Dict[str, np.ndarray]:
+    """Convert a `DepthAnythingForDepthEstimation` torch state_dict.
+    strict=True errors on any unconsumed key (upstream-rename detector);
+    DINOv2's `mask_token` is the one key legitimately unused at
+    inference."""
+    from .convert_util import RecordingStateDict, check_consumed
+
+    orig_sd = sd
+    sd = RecordingStateDict(sd)
 
     def g(name):
         v = sd[name]
@@ -155,6 +162,10 @@ def params_from_torch(sd) -> Dict[str, np.ndarray]:
     for name in ("conv1", "conv2", "conv3"):
         p[f"head.{name}_w"] = cw(f"head.{name}.weight")
         p[f"head.{name}_b"] = g(f"head.{name}.bias")
+    if strict:
+        check_consumed(
+            orig_sd, sd.used, ignore=(r"embeddings\.mask_token$",)
+        )
     return p
 
 

@@ -139,10 +139,16 @@ def random_params(cfg: TapirConfig, seed: int = 0) -> Dict[str, np.ndarray]:
     return p
 
 
-def params_from_torch(sd) -> Dict[str, np.ndarray]:
+def params_from_torch(sd, strict: bool = False) -> Dict[str, np.ndarray]:
     """Convert the torch TAPIR state_dict (`tapnet_torch/tapir_model.py`
     naming: resnet_torch / torch_cost_volume_track_mods / torch_pips_mixer /
-    extra_convs)."""
+    extra_convs). strict=True additionally errors on any key the converter
+    did not consume — catches upstream renames of the block-pattern keys
+    that the `while ... in sd` discovery loops would silently skip."""
+    from .convert_util import RecordingStateDict, check_consumed
+
+    orig_sd = sd
+    sd = RecordingStateDict(sd)
 
     def g(name):
         v = sd[name]
@@ -208,6 +214,8 @@ def params_from_torch(sd) -> Dict[str, np.ndarray]:
         p[dst + "mlp_down_w"] = g(src + "conv_channels_mixer.mlp2_down.weight").T
         p[dst + "mlp_down_b"] = g(src + "conv_channels_mixer.mlp2_down.bias")
         i += 1
+    if strict:
+        check_consumed(orig_sd, sd.used)
     return p
 
 

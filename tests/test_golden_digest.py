@@ -34,9 +34,9 @@ W, H = 64, 48
 # Covers both sort modes, both transmittance-scan implementations, and both
 # per-tile range derivations (the backward reduction runs in every case).
 GOLDEN = {
-    ("packed", "matmul", "search"): "ee0fad250cdc53fbed22dfa8f95417e9",  # loss=3.662681
-    ("exact", "roll", "search"): "238cf761f9f237c7e319de16ee6de7f1",  # loss=3.662678
-    ("packed", "matmul", "matmul"): "ee0fad250cdc53fbed22dfa8f95417e9",  # loss=3.662681
+    ("packed", "matmul", "search"): "ebf9bb378021dc971786304415e8ac88",  # loss=3.662681
+    ("exact", "roll", "search"): "6b50ad5802d74b9771753537a4e73d72",  # loss=3.662678
+    ("packed", "matmul", "matmul"): "ebf9bb378021dc971786304415e8ac88",  # loss=3.662681
 }
 
 
@@ -78,17 +78,25 @@ def _digest(sort_mode, scan_impl, edges_mode):
             xyz, scale, quat, opacity, shs, extr, cfg,
             extra_features={"track": track_feat},
         )
-        return (
+        loss = (
             jnp.sum(out.features["rgb"] * wr)
             + jnp.sum(out.features["depth"][..., 0] * wd)
             + jnp.sum(out.features["track"] * wr)
             + jnp.sum(out.final_T * wd)
-        ), out.features["rgb"]
+        )
+        # hash the kernel's raw outputs, NOT the loss scalar: the scalar's
+        # bits depend on the order XLA reduces the test's own sums (it
+        # shifted 1.7e-6 from a pure output-layout change with bit-exact
+        # images and gradients), which is not kernel math
+        fwd = (out.features["rgb"], out.features["depth"],
+               out.features["track"], out.final_T,
+               out.ncontrib.astype(jnp.int32))
+        return loss, fwd
 
-    (loss, rgb), grads = jax.jit(
+    (loss, fwd), grads = jax.jit(
         jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)
     )(xyz, scale, quat, opacity, shs)
-    parts = [np.asarray(rgb, np.float32), np.float32(loss)]
+    parts = [np.asarray(x) for x in fwd]
     parts += [np.asarray(g, np.float32) for g in grads]
     h = hashlib.md5()
     for p in parts:

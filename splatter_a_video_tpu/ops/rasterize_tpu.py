@@ -76,13 +76,17 @@ def packed_rows(C: int, with_bias: bool = False) -> int:
     [+ opacity_bias(1)], padded to a multiple of 8 sublanes. The abs-sink
     values are NOT packed: they are all-zero gradient sinks that no kernel
     reads (the bwd kernel only WRITES |duv| into the grad buffer's abs
-    rows)."""
+    rows). Rows are padded to a multiple of 8 sublanes: Mosaic requires
+    dim-0 DMA slices to be 8-aligned ("Slice shape along dimension 0 must
+    be aligned to tiling (8)"), so an exact 10-row pack cannot compile —
+    measured, not assumed (the CPU interpreter accepts it)."""
     return _round_up(6 + C + (1 if with_bias else 0), 8)
 
 
 def grad_rows(C: int, with_bias: bool = False) -> int:
     """Rows of the bwd grad buffer: duv(2) dconic(3) dop(1) dfeat(C)
-    dabs(2) [+ dbias(1)], padded to a multiple of 8 sublanes."""
+    dabs(2) [+ dbias(1)], padded to a multiple of 8 sublanes (see
+    `packed_rows`)."""
     return _round_up(8 + C + (1 if with_bias else 0), 8)
 
 

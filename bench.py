@@ -55,21 +55,36 @@ def _alarm_budgeted(sec):
     _alarm(max(1, min(int(sec), int(_remaining()))))
 
 
-def probe_backend(timeout_s=60):
+def probe_backend(timeout_s=60, attempts=3):
     """Fast proof the device answers before any expensive compile.
 
     A trivial jit on a dead axon relay hangs in compile; 60 s is ~2x the
-    worst observed healthy first-compile of this one-matmul program."""
+    worst observed healthy first-compile of this one-matmul program.
+    Retried: single probes can time out transiently on a healthy relay
+    (observed 2026-08-19: probe timeout one minute after a clean e2e run,
+    next probe 1.6 s) — only consecutive failures mean the relay is down."""
     import jax
     import jax.numpy as jnp
 
-    _alarm_budgeted(timeout_s)
-    try:
-        v = float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((777, 333))))
-        dev = str(jax.devices()[0])
-    finally:
-        _clear()
-    print(f"# probe ok ({dev}): {v}", file=sys.stderr)
+    last = None
+    for i in range(attempts):
+        if _remaining() < 5:
+            raise last if last is not None else Timeout()
+        _alarm_budgeted(timeout_s)
+        try:
+            v = float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((777, 333))))
+            dev = str(jax.devices()[0])
+            _clear()
+            print(f"# probe ok ({dev}): {v}", file=sys.stderr)
+            return
+        except (Timeout, Exception) as e:  # noqa: BLE001
+            last = e
+            print(f"# probe attempt {i + 1}/{attempts} failed: "
+                  f"{type(e).__name__}", file=sys.stderr)
+        finally:
+            _clear()
+        time.sleep(min(10, max(1, _remaining() / 60)))
+    raise last
 
 
 def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):

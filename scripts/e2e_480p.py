@@ -63,7 +63,17 @@ tcfg = trainer.TrainerConfig(
         densify_start_iter=500,
         densify_stop_iter=int(STEPS * 0.75),
         opacity_reset_interval=10**9,
-    ),
+        # bisect knob for the 2026-08-19 divergence: production DAVIS
+        # threshold is 0.0002; the toy e2e_tpu harness converges at 0.02
+        densify_grad_threshold=float(
+            os.environ.get("E480_GRAD_TH", "0.0002")),
+    ) if os.environ.get("E480_DENSIFY", "1") == "1" else
+    # diagnostic: E480_DENSIFY=0 disables density control entirely (used
+    # to bisect the 2026-08-19 divergence to the unconditional size-prune;
+    # see METRICS_480p_nodensify.json + the PARITY.md §2.7 density row)
+    density.DensifyConfig(densify_start_iter=STEPS + 1,
+                          densify_stop_iter=STEPS + 1,
+                          opacity_reset_interval=10**9),
 )
 
 t0 = time.time()
@@ -100,7 +110,14 @@ print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items()}),
 out = {
     "date": time.strftime("%Y-%m-%d"),
     "scale": {"width": W, "height": H, "frames": T, "steps": STEPS,
-              "init_points": FG + BG, "capacity": int(state.scene.cfg.capacity)},
+              "init_points_requested": FG + BG,
+              # get_tracks_3d filters raw queries by mask/visibility
+              # validity, so realized init << requested (reference
+              # behavior: read_data_simple filters the same way)
+              "init_points": int(hist[0]["alive"]),
+              "capacity": int(state.scene.cfg.capacity),
+              "densify": os.environ.get("E480_DENSIFY", "1") == "1",
+              "densify_grad_threshold": tcfg.densify.densify_grad_threshold},
     "train_minutes": round(train_min, 2),
     "final_alive": int(hist[-1]["alive"]),
     "recon": {"psnr": round(float(np.mean(psnrs)), 2),
@@ -110,7 +127,9 @@ out = {
     "tapvid": {k: round(float(v), 2) for k, v in m.items()},
     "hardware": jax.devices()[0].device_kind,
 }
-dest = os.path.join(os.path.dirname(__file__), "..", "METRICS_480p.json")
+suffix = "" if os.environ.get("E480_DENSIFY", "1") == "1" else "_nodensify"
+dest = os.path.join(os.path.dirname(__file__), "..",
+                    f"METRICS_480p{suffix}.json")
 if not QUICK:
     with open(dest, "w") as f:
         json.dump(out, f, indent=2)

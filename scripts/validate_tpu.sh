@@ -1,8 +1,11 @@
 #!/bin/bash
 # One-shot TPU validation pipeline (run after kernel/binning changes or a
 # relay outage): quality e2e -> render bench -> train-step bench.
-# Expected (deterministic) e2e numbers: recon PSNR 30.86 SSIM 0.9675;
-# tapvid AJ 48.41 delta 63.55 OA 86.28 TC 0.21.
+# Expected (deterministic) e2e numbers: recon PSNR 31.05 SSIM 0.9739;
+# tapvid AJ 69.57 delta 85.46 OA 86.55 TC 0.2.
+# (Goldens moved 2026-08-19: size-prune is now gated on
+#  step > opacity_reset_interval like gs_optimizer.py:361-372 — the old
+#  unconditional prune was eating large legitimate gaussians; AJ 48.41->69.57.)
 set -u
 cd "$(dirname "$0")/.."
 echo "== probe =="

@@ -20,6 +20,7 @@ fg/bg atlases for editing workflows). Atlases may mix trajectory types
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -62,6 +63,9 @@ def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
     rcfg = cfg.raster_cfg()
     extr_j = jnp.asarray(extr, jnp.float32)
     optimizer = _optim.make_optimizer(cfg.optim)
+    # the atlas optimizer prunes by size unconditionally
+    # (`atlas_gs_optimizer.py:362`), unlike the gated single-atlas one
+    _atlas_dcfg = dataclasses.replace(cfg.densify, size_prune_always=True)
 
     def _concat_inputs(scenes: Dict[str, GaussianScene], t1, t2):
         inps = [scene_render_inputs(s, t1) for s in scenes.values()]
@@ -186,7 +190,7 @@ def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
             key, sub = jax.random.split(key)
             scene, ost, dst, info = _density.densify_and_prune(
                 state.model.atlases[n], state.opt_states[n],
-                state.densify_states[n], state.step, cfg.densify, sub,
+                state.densify_states[n], state.step, _atlas_dcfg, sub,
             )
             new_atlases[n] = scene
             new_opts[n] = ost

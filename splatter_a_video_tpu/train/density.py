@@ -61,6 +61,14 @@ class DensifyConfig:
     min_opacity: float = 0.05
     cameras_extent: float = 1.0
     max_radii2d_px: float = 20.0
+    # The single-atlas reference optimizer applies BOTH size prunes
+    # (screen radii + world scale) only once `step > opacity_reset_interval`
+    # (`gs_optimizer.py:361-372`); only the atlas variant prunes by size
+    # unconditionally (`atlas_gs_optimizer.py:362`). Pruning from the first
+    # event eats large legitimate gaussians: measured 2026-08-19 at 480p
+    # scale, alive 27.8k -> 6.1k and TAP-Vid AJ collapsed (METRICS_480p
+    # bisect runs).
+    size_prune_always: bool = False
 
 
 class DensifyState(NamedTuple):
@@ -225,13 +233,19 @@ def densify_and_prune(
     remove_slots = jnp.where(parent_removed, split_idx, cap)
     alive = alive.at[remove_slots].set(False, mode="drop")
 
-    # ---- prune (atlas variant: size tests unconditional) -----------------
+    # ---- prune ------------------------------------------------------------
+    # low-opacity always; size tests (screen radii + world scale) gated on
+    # step > opacity_reset_interval exactly like `gs_optimizer.py:361-372`,
+    # unless cfg.size_prune_always (the `atlas_gs_optimizer.py:362` variant,
+    # set by the atlas trainer).
     opacity_act = jax.nn.sigmoid(new_params["opacity"][:, 0])
-    prune = (
-        (opacity_act < cfg.min_opacity)
-        | (state.max_radii2d > cfg.max_radii2d_px)
+    size_prune = (
+        (state.max_radii2d > cfg.max_radii2d_px)
         | (jnp.max(jnp.exp(new_params["scaling"]), axis=-1) > 0.1 * cfg.cameras_extent)
     )
+    if not cfg.size_prune_always:
+        size_prune = size_prune & (step > cfg.opacity_reset_interval)
+    prune = (opacity_act < cfg.min_opacity) | size_prune
     # freshly placed children keep zeroed radii stats -> not pruned by radii
     prune = prune & ~used
     n_pruned = jnp.sum(prune & alive)

@@ -8,9 +8,10 @@ so this gate pins an md5 digest of the CPU-f32 rendered image *and its
 gradients* on a fixed scene, with zero tolerance.
 
 If this test fails after an intentional kernel change: re-run the e2e
-quality harness (`scripts/e2e_tpu.py`) and confirm recon PSNR ~30.86 and
-tapvid AJ ~48.4 still hold, then refresh the digests with
-`UPDATE_GOLDEN=1 python -m pytest tests/test_golden_digest.py -s`.
+quality harness (`scripts/e2e_tpu.py`) and confirm the goldens in the
+`scripts/validate_tpu.sh` header still hold (recon PSNR ~31.05, tapvid
+AJ ~69.6 as of the 2026-08-19 size-prune gating fix), then refresh the
+digests with `UPDATE_GOLDEN=1 python -m pytest tests/test_golden_digest.py -s`.
 
 Digests are only expected to be stable for a fixed jax/XLA version on the
 CPU backend (bit-deterministic per executable); a jax upgrade may refresh

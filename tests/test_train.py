@@ -192,6 +192,34 @@ class TestDensityUnit:
         assert int(info.num_pruned) == 4
         assert int(scene2.num_alive) == 16
 
+    def test_size_prune_gated_on_opacity_reset_interval(self):
+        """Size prunes (screen radii / world scale) apply only once
+        step > opacity_reset_interval in the single-atlas path
+        (`gs_optimizer.py:361-372`); `size_prune_always` restores the
+        unconditional atlas behavior (`atlas_gs_optimizer.py:362`).
+
+        Regression for the 2026-08-19 480p-scale collapse: unconditional
+        size pruning from the first event shrank a 27.8k scene to 6.1k."""
+        def run(step, **kw):
+            scene, opt, opt_state, dstate = self._setup(n=20)
+            dstate = density.DensifyState(
+                max_radii2d=jnp.zeros((CAP,)).at[:6].set(100.0),  # huge px
+                pos_grad_accum=jnp.zeros((CAP,)),
+                denom=jnp.ones((CAP,)),
+            )
+            cfg = density.DensifyConfig(
+                densify_grad_threshold=1e9, opacity_reset_interval=3000, **kw
+            )
+            _, _, _, info = density.densify_and_prune(
+                scene, opt_state, dstate, jnp.asarray(step), cfg,
+                jax.random.PRNGKey(0),
+            )
+            return int(info.num_pruned)
+
+        assert run(600) == 0          # before the gate: big radii survive
+        assert run(3500) == 6         # after the gate: pruned
+        assert run(600, size_prune_always=True) == 6  # atlas variant
+
     def test_capacity_saturation_reported(self):
         scene, opt, opt_state, dstate = self._setup(n=250)  # only 6 free
         cfg = density.DensifyConfig(densify_grad_threshold=0.1, percent_dense=10.0)

@@ -57,6 +57,11 @@ fcfg = fit.FitConfig(
 )
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T,
+    # the synthetic blobs are textureless at every scale, so the
+    # photometric term alone "cheats" correspondence exactly as in the
+    # toy harness (scripts/e2e_tpu.py) — the synthetic-scene flow weight
+    # is 20; production DAVIS keeps the reference's 2 (frag_gs_v10.yaml)
+    loss_flow_weight=float(os.environ.get("E480_FLOW_W", "20.0")),
     num_track_samples=NTRACK, max_intersections=MAXI,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(

@@ -25,3 +25,11 @@ def pytest_configure(config):
         "slow: long-running e2e/integration tests (full fits, multi-device "
         "steps); `pytest -m 'not slow'` is the fast development loop",
     )
+    # third-party noise: imageio's vendored-tifffile deprecation fires when
+    # the DAVIS pipeline test touches imageio; not actionable in this repo
+    # (no pip installs available) and keeps the suite at zero repo warnings
+    config.addinivalue_line(
+        "filterwarnings",
+        "ignore:ImageIO's vendored tifffile backend is deprecated"
+        ":DeprecationWarning",
+    )

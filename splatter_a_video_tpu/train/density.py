@@ -59,15 +59,25 @@ class DensifyConfig:
     opacity_reset_interval: int = 3000
     densify_grad_threshold: float = 0.0002
     min_opacity: float = 0.05
-    cameras_extent: float = 1.0
+    # The reference hard-codes `cameras_extent = 5` for the production
+    # canonical-camera run (`trainer_fragGS.py:229`), so its world-size
+    # prune threshold is 0.1 * 5 = 0.5 world units and its clone/split
+    # boundary is 0.001 * 5 = 0.005. Round 3 shipped 1.0 here, which made
+    # the size prune 5x too aggressive — the root cause of the
+    # "always-prune divergence" (alive 27.8k -> 6.1k, PSNR 5.36 in
+    # METRICS_480p_diverged.json): lifted bg/border gaussians legitimately
+    # have world scales in (0.1, 0.5) at the [0.5, 2.0] depth range.
+    cameras_extent: float = 5.0
     max_radii2d_px: float = 20.0
     # The single-atlas reference optimizer applies BOTH size prunes
     # (screen radii + world scale) only once `step > opacity_reset_interval`
-    # (`gs_optimizer.py:361-372`); only the atlas variant prunes by size
-    # unconditionally (`atlas_gs_optimizer.py:362`). Pruning from the first
-    # event eats large legitimate gaussians: measured 2026-08-19 at 480p
-    # scale, alive 27.8k -> 6.1k and TAP-Vid AJ collapsed (METRICS_480p
-    # bisect runs).
+    # (`gs_optimizer.py:361-372`); the PRODUCTION atlas variant prunes by
+    # size unconditionally (`atlas_gs_optimizer.py:362`,
+    # selected by `frag_gs_v10.yaml:24`). The round-3 collapse under
+    # always-prune (alive 27.8k -> 6.1k, METRICS_480p_diverged.json) was
+    # NOT caused by this rule — it was the cameras_extent=1.0 bug above
+    # (world-size threshold 0.1 instead of the reference's 0.5); with
+    # extent=5 the production rule trains fine (METRICS_480p.json r4).
     size_prune_always: bool = False
 
 

@@ -87,7 +87,11 @@ class OptimConfig:
     eps: float = 1e-15                      # frag_gs_v10.yaml:25
     b1: float = 0.9
     b2: float = 0.999
-    spatial_lr_scale: float = 1.0
+    # The reference scales every SCHEDULED param group's lr by
+    # `cameras_extent = 5` (`trainer_fragGS.py:127,229,241`:
+    # spatial_lr_scale=True passes cameras_extent to ExponLRScheduler), so
+    # the production position lr is really 3e-4 -> 8e-6, not 6e-5 -> 1.6e-6.
+    spatial_lr_scale: float = 5.0
     lrs: Tuple[Tuple[str, float], ...] = tuple(sorted(DEFAULT_LRS.items()))
     schedules: Tuple[Tuple[str, Tuple[float, float]], ...] = tuple(
         sorted(DEFAULT_SCHEDULES.items())

@@ -28,7 +28,8 @@ import optax
 
 from ..models.gaussians import GaussianScene
 from ..ops import rasterize as _raster
-from ..utils.pose import apply_se3_to_extrinsic
+from ..utils.pose import apply_se3_to_extrinsic, se3_exp
+from . import density as _density
 from . import losses as _losses
 from . import optim as _optim
 from . import trainer as _trainer
@@ -135,8 +136,11 @@ def make_joint_train_step(
     cam_lr_warmup_scale: float = 10.0, cam_decay_steps: int = 0,
 ):
     """Train-step variant optimizing scene params AND per-frame camera
-    twists jointly (rgb + tracking + depth losses; ARAP is camera-free and
-    follows `trainer.make_train_step` when enabled).
+    twists jointly. Shares the FULL production loss assembly with
+    `trainer.make_train_step` (`trainer.compute_losses`: rgb + tracking +
+    depth + ARAP + mask/dino attribute + fg-layer terms) and accumulates
+    the same viewspace-gradient densification statistics, so fit_clip's
+    density-control schedule works identically under refine_camera.
 
     GAUGE NOTE. In this product the scene's per-frame trajectories are
     free enough to absorb any per-frame camera motion (the initialization
@@ -169,50 +173,36 @@ def make_joint_train_step(
         key, sub = jax.random.split(ts.key)
         scene = ts.scene
 
-        def loss_fn(params, xi):
-            sc = GaussianScene(params=params, aux=scene.aux, cfg=scene.cfg)
-            inp1 = _trainer.scene_render_inputs(sc, batch.t1)
-            pos2 = sc.get_position(batch.t2)
+        def loss_fn(params, xi, uv_sink, abs_sink):
             extr_t1 = apply_se3_to_extrinsic(extr0, xi[batch.t1])
-            out = _raster.render_gaussians(
-                inp1["position"], inp1["scaling"], inp1["rotation"],
-                inp1["opacity"], inp1["shs"], extr_t1, rcfg,
-                extra_features={"track_gs": pos2},
-                bg_color=1.0 if cfg.white_bg else 0.0,
+
+            def pos2_in_t2_frame(pos2):
+                # The tracking loss denormalizes the splatted `track_gs`
+                # values with the CANONICAL camera convention
+                # (`losses.tracking_loss`), so the t2 positions must be
+                # expressed relative to the refined t2 camera:
+                # p' = E0^{-1} exp(xi_t2) E0 p (identity when xi_t2 = 0).
+                E0R, E0t = extr0[:, :3], extr0[:, 3]
+                T2 = se3_exp(xi[batch.t2])
+                p = pos2 @ E0R.T + E0t
+                p = p @ T2[:3, :3].T + T2[:3, 3]
+                return (p - E0t) @ E0R
+
+            loss, (metrics, radius) = _trainer.compute_losses(
+                cfg, rcfg, scene, batch, sub, ts.step, params,
+                uv_sink, abs_sink, extr_t1,
+                pos2_transform=pos2_in_t2_frame,
             )
-            pred_rgb = out.features["rgb"]
-            loss = cfg.loss_rgb_weight * _losses.rgb_loss(
-                pred_rgb, batch.rgb1, cfg.lambda_dssim
-            )
-            if cfg.loss_flow_weight:
-                vis, _, conf = _losses.parse_tapir_track_info(
-                    batch.target_tracks[:, 2], batch.target_tracks[:, 3]
-                )
-                interval = jnp.abs(batch.t2 - batch.t1).astype(jnp.float32)
-                loss = loss + cfg.loss_flow_weight * _losses.tracking_loss(
-                    out.features["track_gs"], batch.query_px,
-                    batch.target_tracks[:, :2], vis & batch.track_valid,
-                    conf, interval, cfg.num_frames, cfg.height, cfg.width,
-                    quantile=cfg.track_quantile,
-                )
-            if cfg.depth_loss_weight:
-                loss = loss + cfg.depth_loss_weight * _losses.depth_loss_dpt(
-                    out.features["depth"][..., 0], batch.depth1
-                )
-            if cfg.arap_weight:
-                loss = loss + cfg.arap_weight * _losses.arap_loss(
-                    inp1["position"], pos2, sub,
-                    k=cfg.arap_knn, sample_num=cfg.arap_sample_num,
-                    alive=sc.alive,
-                )
             if cam_prior_weight:
                 loss = loss + cam_prior_weight * jnp.sum(xi * xi)
-            metrics = {"loss": loss, "psnr": _losses.psnr(pred_rgb, batch.rgb1)}
-            return loss, metrics
+                metrics = {**metrics, "loss": loss}
+            return loss, (metrics, radius)
 
-        (gp, gxi), metrics = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            scene.params, state.cam_xi
-        )
+        N = scene.alive.shape[0]
+        uv0 = jnp.zeros((N, 2))
+        (gp, gxi, duv, dabs), (metrics, radius) = jax.grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(scene.params, state.cam_xi, uv0, uv0)
         if cam_warmup_iters > 0:
             # pose-only warmup: zero the scene gradients (Adam moments stay
             # at 0, so the scene's post-warmup dynamics are unperturbed)
@@ -222,8 +212,14 @@ def make_joint_train_step(
         new_params = jax.tree_util.tree_map(lambda p, u: p + u, scene.params, up)
         cup, cam_opt_state = cam_opt.update(gxi, state.cam_opt_state, state.cam_xi)
         new_xi = optax.apply_updates(state.cam_xi, cup)
+        # densification statistics flow exactly as in the fixed-camera step,
+        # so fit_clip's density schedule works under refine_camera too
+        dstate = _density.accumulate_stats(
+            ts.densify_state, radius > 0, radius,
+            _trainer.viewspace_grad_norm(cfg, duv),
+        )
         new_base = _trainer.TrainState(
-            scene.replace(params=new_params), opt_state, ts.densify_state,
+            scene.replace(params=new_params), opt_state, dstate,
             ts.step + 1, key,
         )
         return CamTrainState(new_base, new_xi, cam_opt_state), metrics

@@ -52,6 +52,14 @@ class FitConfig:
     num_track_samples: int = 4096
     log_every: int = 100
     seed: int = 0
+    # Top the lifted-track init up to this many points with depth-unprojected
+    # static points (positions through the same normalize_xy + renormalized
+    # depth convention as `_lift_query`; colors sampled from the source
+    # frame). The reference's flagship YAML requests 100k init points
+    # (`frag_gs_v10.yaml:18`); its `positive_Z_random` initializer
+    # (`pointrix/point_cloud/utils.py:32-37`) is the depth-blind variant of
+    # this. 0 = tracks only (the `read_data_simple` WithBase behavior).
+    init_num_points: int = 0
     # NaN guard — the reference drops into pdb on a NaN loss
     # (`trainer_fragGS.py:754-755`); here a non-finite loss at a log
     # boundary raises with the offending step's metrics so a crashed run
@@ -96,6 +104,31 @@ class FitConfig:
     camera_init_xi: Optional[np.ndarray] = None
 
 
+def _depth_topup_points(
+    data: VideoFlowData, need: int, rng: np.random.RandomState
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[need, 3] static canonical-frustum points sampled from random pixels
+    of random frames, unprojected with the renormalized lifting depth, plus
+    their [need, 3] source-frame colors."""
+    from ..data.video_flow import bilinear_sample, normalize_xy
+
+    H, W = data.image_size
+    fs = rng.randint(0, data.num_frames, size=need)
+    xy = np.stack(
+        [rng.uniform(0, W - 1, need), rng.uniform(0, H - 1, need)], axis=1
+    ).astype(np.float32)
+    pts = np.zeros((need, 3), np.float32)
+    cols = np.zeros((need, 3), np.float32)
+    pts[:, :2] = normalize_xy(xy, W, H)
+    for f in np.unique(fs):
+        m = fs == f
+        pts[m, 2] = bilinear_sample(data.get_depth(int(f)), xy[m])
+        cols[m] = bilinear_sample(
+            np.asarray(data.frames[int(f)], np.float32), xy[m]
+        )
+    return pts, cols
+
+
 def build_scene_from_clip(
     data: VideoFlowData, cfg: FitConfig
 ) -> Tuple[GaussianScene, SceneConfig]:
@@ -122,6 +155,14 @@ def build_scene_from_clip(
     # dynamic_gaussian_with_base_point_cloud.py:56)
     ok = ~np.isnan(tracks).any(axis=(1, 2))
     tracks, colors = tracks[ok], colors[ok]
+
+    if cfg.init_num_points and tracks.shape[0] < cfg.init_num_points:
+        need = cfg.init_num_points - tracks.shape[0]
+        pts, cols = _depth_topup_points(data, need, rng)
+        tracks = np.concatenate(
+            [tracks, np.repeat(pts[:, None, :], tracks.shape[1], axis=1)], 0
+        )
+        colors = np.concatenate([colors, cols], 0)
 
     track_seq = np.swapaxes(tracks, 0, 1)  # [T, N, 3]
     N = track_seq.shape[1]
@@ -238,6 +279,33 @@ def _run_validation(data, scene, render_panels, val_frames, hooks, ctx):
     run_hooks(hooks, "after_val", ctx)
 
 
+def _save_cam_refine(cs: Dict, out_dir: str) -> None:
+    """Persist the camera twists + their Adam state next to the orbax
+    checkpoints. CheckPointHook saves only the base TrainState, so without
+    this a crashed/resumed refine_camera run would silently restart xi at
+    zero against a scene that already absorbed the refined poses."""
+    leaves = jax.tree_util.tree_leaves(cs["opt"])
+    np.savez(
+        os.path.join(out_dir, "camera_refine.npz"),
+        xi=np.asarray(cs["xi"]),
+        **{f"opt_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def _restore_cam_refine(cs: Dict, out_dir: str) -> bool:
+    path = os.path.join(out_dir, "camera_refine.npz")
+    if not os.path.exists(path):
+        return False
+    z = np.load(path)
+    cs["xi"] = jnp.asarray(z["xi"])
+    treedef = jax.tree_util.tree_structure(cs["opt"])
+    cs["opt"] = jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(z[f"opt_{i}"]) for i in range(treedef.num_leaves)],
+    )
+    return True
+
+
 def fit_clip(
     data: VideoFlowData,
     fit_cfg: Optional[FitConfig] = None,
@@ -340,6 +408,11 @@ def fit_clip(
             print(f"resumed from {out_dir} at step {start_step}", flush=True)
             ctx.state = state
             ctx.step = start_step
+            if cam_refine_state is not None and _restore_cam_refine(
+                cam_refine_state, out_dir
+            ):
+                print("resumed camera twists from camera_refine.npz",
+                      flush=True)
             run_hooks(hooks, "after_load_checkpoint", ctx)
 
     ctx.state = state
@@ -432,6 +505,10 @@ def fit_clip(
             ctx.step = step
             ctx.metrics = m
             ctx.state = state
+            if cam_refine_state is not None:
+                ctx.camera_xi = np.asarray(cam_refine_state["xi"])
+                if out_dir is not None:
+                    _save_cam_refine(cam_refine_state, out_dir)
             if (
                 render_panels is not None
                 and image_every

@@ -158,6 +158,131 @@ def scene_render_inputs(scene: GaussianScene, t) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def compute_losses(cfg: TrainerConfig, rcfg, scene, batch: Batch, sub,
+                   step, params, uv_sink, abs_sink, extr_t1,
+                   pos2_transform=None):
+    """The full production loss assembly for one (t1, t2) pair — shared by
+    `make_train_step` (fixed canonical camera) and
+    `camera_refine.make_joint_train_step` (per-frame refined extrinsics,
+    which passes `pos2_transform` to express the t2 positions in the
+    refined t2 camera frame before they are splatted as the `track_gs`
+    feature). Returns (loss, (metrics, radius))."""
+    sc = GaussianScene(params=params, aux=scene.aux, cfg=scene.cfg)
+    inp1 = scene_render_inputs(sc, batch.t1)
+    pos2 = sc.get_position(batch.t2)
+    if pos2_transform is not None:
+        pos2 = pos2_transform(pos2)
+    extra = {"track_gs": pos2}
+    if (cfg.train_render_attributes or cfg.mask_attr_weight
+            or cfg.dino_attr_weight):
+        for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
+            if name in inp1:
+                extra[name] = inp1[name]
+    out = _render_with_sinks(
+        inp1, extr_t1, rcfg, extra, cfg.white_bg, uv_sink, abs_sink,
+        depth_bg=cfg.depth_bg,
+    )
+    pred_rgb = out.features["rgb"]
+    pred_depth = out.features["depth"][..., 0]
+    track_map = out.features["track_gs"]
+
+    loss_rgb = _losses.rgb_loss(pred_rgb, batch.rgb1, cfg.lambda_dssim)
+    vis, _, conf = _losses.parse_tapir_track_info(
+        batch.target_tracks[:, 2], batch.target_tracks[:, 3]
+    )
+    interval = jnp.abs(batch.t2 - batch.t1).astype(jnp.float32)
+    loss_flow = _losses.tracking_loss(
+        track_map, batch.query_px, batch.target_tracks[:, :2],
+        vis & batch.track_valid, conf, interval,
+        cfg.num_frames, cfg.height, cfg.width,
+        quantile=cfg.track_quantile,
+    )
+    loss_depth = _losses.depth_loss_dpt(pred_depth, batch.depth1)
+    # zero-weight terms are skipped entirely (0 * NaN would still
+    # poison the sum) — weights are static config
+    loss_arap = (
+        _losses.arap_loss(
+            inp1["position"], pos2, sub,
+            k=cfg.arap_knn, sample_num=cfg.arap_sample_num,
+            alive=sc.alive,
+        )
+        if cfg.arap_weight
+        else jnp.zeros(())
+    )
+    loss = cfg.loss_rgb_weight * loss_rgb
+    if cfg.loss_flow_weight:
+        loss = loss + cfg.loss_flow_weight * loss_flow
+    if cfg.depth_loss_weight:
+        loss = loss + cfg.depth_loss_weight * loss_depth
+    if cfg.arap_weight:
+        loss = loss + cfg.arap_weight * loss_arap
+    extra_metrics = {}
+    if cfg.mask_attr_weight:
+        # MSE on the detached-opacity-blended mask channel vs the
+        # binary fg mask (`trainer_fragGS.py:632-636`)
+        loss_mask = jnp.mean(
+            (out.features["mask_attribute"][..., 0] - batch.mask1) ** 2
+        )
+        loss = loss + cfg.mask_attr_weight * loss_mask
+        extra_metrics["loss_mask_attr"] = loss_mask
+    if cfg.dino_attr_weight:
+        # MSE on the rendered feature channels vs the per-pixel
+        # DINO target image (`trainer_fragGS.py:638-642`)
+        loss_dino = jnp.mean(
+            (out.features["dino_attribute"] - batch.dino1) ** 2
+        )
+        loss = loss + cfg.dino_attr_weight * loss_dino
+        extra_metrics["loss_dino_attr"] = loss_dino
+    if cfg.fg_layer_weight:
+        # fg-only layer re-render (`trainer_fragGS.py:645-668`).
+        # Zero-opacity masking equals the reference's boolean
+        # gaussian slicing: alpha < 1/255 contributors are skipped
+        # identically by the blend. The sinks are stop-gradded so
+        # this render doesn't pollute densification statistics
+        # (the reference's optimizer also reads only the first
+        # render's viewspace grads).
+        fg_sel = jax.lax.stop_gradient(
+            inp1["mask_attribute"][:, 0] > 0.5
+        )
+        inp_fg = {
+            **inp1,
+            "opacity": jnp.where(fg_sel, inp1["opacity"], 0.0),
+        }
+        out_fg = _render_with_sinks(
+            inp_fg, extr_t1, rcfg,
+            {"mask_attribute": inp1["mask_attribute"]},
+            False,  # bg_color 0 (`trainer_fragGS.py:658`)
+            jax.lax.stop_gradient(uv_sink),
+            jax.lax.stop_gradient(abs_sink),
+            depth_bg=cfg.depth_bg,
+        )
+        gt_mask1 = batch.mask1[..., None]
+        loss_rgb_fg = jnp.mean(
+            (out_fg.features["rgb"] - batch.rgb1 * gt_mask1) ** 2
+        )
+        loss_mask_fg = jnp.mean(
+            (out_fg.features["mask_attribute"] - gt_mask1) ** 2
+        )
+        w_fg = jnp.where(
+            step > cfg.fg_layer_start_iter,
+            cfg.fg_layer_weight, 0.0,
+        )
+        loss = loss + w_fg * (loss_rgb_fg + loss_mask_fg)
+        extra_metrics["loss_rgb_fg"] = loss_rgb_fg
+        extra_metrics["loss_mask_fg"] = loss_mask_fg
+    metrics = {
+        **extra_metrics,
+        "loss": loss,
+        "loss_rgb": loss_rgb,
+        "loss_flow": loss_flow,
+        "loss_depth": loss_depth,
+        "loss_arap": loss_arap,
+        "psnr": _losses.psnr(pred_rgb, batch.rgb1),
+        "num_intersections": out.num_intersections,
+    }
+    return loss, (metrics, out.radius)
+
+
 def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
     """Build the jitted train step for a fixed canonical camera."""
     rcfg = cfg.raster_cfg()
@@ -171,119 +296,10 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
         scene = state.scene
 
         def loss_fn_with_sinks(params, uv_sink, abs_sink):
-            sc = GaussianScene(params=params, aux=scene.aux, cfg=scene.cfg)
-            N = sc.alive.shape[0]
-            inp1 = scene_render_inputs(sc, batch.t1)
-            pos2 = sc.get_position(batch.t2)
-            extra = {"track_gs": pos2}
-            if (cfg.train_render_attributes or cfg.mask_attr_weight
-                    or cfg.dino_attr_weight):
-                for name in ("mask_attribute", "pos_poly_feat", "dino_attribute"):
-                    if name in inp1:
-                        extra[name] = inp1[name]
-            out = _render_with_sinks(
-                inp1, extr_j, rcfg, extra, cfg.white_bg, uv_sink, abs_sink,
-                depth_bg=cfg.depth_bg,
+            return compute_losses(
+                cfg, rcfg, scene, batch, sub, state.step, params,
+                uv_sink, abs_sink, extr_j,
             )
-            pred_rgb = out.features["rgb"]
-            pred_depth = out.features["depth"][..., 0]
-            track_map = out.features["track_gs"]
-
-            loss_rgb = _losses.rgb_loss(pred_rgb, batch.rgb1, cfg.lambda_dssim)
-            vis, _, conf = _losses.parse_tapir_track_info(
-                batch.target_tracks[:, 2], batch.target_tracks[:, 3]
-            )
-            interval = jnp.abs(batch.t2 - batch.t1).astype(jnp.float32)
-            loss_flow = _losses.tracking_loss(
-                track_map, batch.query_px, batch.target_tracks[:, :2],
-                vis & batch.track_valid, conf, interval,
-                cfg.num_frames, cfg.height, cfg.width,
-                quantile=cfg.track_quantile,
-            )
-            loss_depth = _losses.depth_loss_dpt(pred_depth, batch.depth1)
-            # zero-weight terms are skipped entirely (0 * NaN would still
-            # poison the sum) — weights are static config
-            loss_arap = (
-                _losses.arap_loss(
-                    inp1["position"], pos2, sub,
-                    k=cfg.arap_knn, sample_num=cfg.arap_sample_num,
-                    alive=sc.alive,
-                )
-                if cfg.arap_weight
-                else jnp.zeros(())
-            )
-            loss = cfg.loss_rgb_weight * loss_rgb
-            if cfg.loss_flow_weight:
-                loss = loss + cfg.loss_flow_weight * loss_flow
-            if cfg.depth_loss_weight:
-                loss = loss + cfg.depth_loss_weight * loss_depth
-            if cfg.arap_weight:
-                loss = loss + cfg.arap_weight * loss_arap
-            extra_metrics = {}
-            if cfg.mask_attr_weight:
-                # MSE on the detached-opacity-blended mask channel vs the
-                # binary fg mask (`trainer_fragGS.py:632-636`)
-                loss_mask = jnp.mean(
-                    (out.features["mask_attribute"][..., 0] - batch.mask1) ** 2
-                )
-                loss = loss + cfg.mask_attr_weight * loss_mask
-                extra_metrics["loss_mask_attr"] = loss_mask
-            if cfg.dino_attr_weight:
-                # MSE on the rendered feature channels vs the per-pixel
-                # DINO target image (`trainer_fragGS.py:638-642`)
-                loss_dino = jnp.mean(
-                    (out.features["dino_attribute"] - batch.dino1) ** 2
-                )
-                loss = loss + cfg.dino_attr_weight * loss_dino
-                extra_metrics["loss_dino_attr"] = loss_dino
-            if cfg.fg_layer_weight:
-                # fg-only layer re-render (`trainer_fragGS.py:645-668`).
-                # Zero-opacity masking equals the reference's boolean
-                # gaussian slicing: alpha < 1/255 contributors are skipped
-                # identically by the blend. The sinks are stop-gradded so
-                # this render doesn't pollute densification statistics
-                # (the reference's optimizer also reads only the first
-                # render's viewspace grads).
-                fg_sel = jax.lax.stop_gradient(
-                    inp1["mask_attribute"][:, 0] > 0.5
-                )
-                inp_fg = {
-                    **inp1,
-                    "opacity": jnp.where(fg_sel, inp1["opacity"], 0.0),
-                }
-                out_fg = _render_with_sinks(
-                    inp_fg, extr_j, rcfg,
-                    {"mask_attribute": inp1["mask_attribute"]},
-                    False,  # bg_color 0 (`trainer_fragGS.py:658`)
-                    jax.lax.stop_gradient(uv_sink),
-                    jax.lax.stop_gradient(abs_sink),
-                    depth_bg=cfg.depth_bg,
-                )
-                gt_mask1 = batch.mask1[..., None]
-                loss_rgb_fg = jnp.mean(
-                    (out_fg.features["rgb"] - batch.rgb1 * gt_mask1) ** 2
-                )
-                loss_mask_fg = jnp.mean(
-                    (out_fg.features["mask_attribute"] - gt_mask1) ** 2
-                )
-                w_fg = jnp.where(
-                    state.step > cfg.fg_layer_start_iter,
-                    cfg.fg_layer_weight, 0.0,
-                )
-                loss = loss + w_fg * (loss_rgb_fg + loss_mask_fg)
-                extra_metrics["loss_rgb_fg"] = loss_rgb_fg
-                extra_metrics["loss_mask_fg"] = loss_mask_fg
-            metrics = {
-                **extra_metrics,
-                "loss": loss,
-                "loss_rgb": loss_rgb,
-                "loss_flow": loss_flow,
-                "loss_depth": loss_depth,
-                "loss_arap": loss_arap,
-                "psnr": _losses.psnr(pred_rgb, batch.rgb1),
-                "num_intersections": out.num_intersections,
-            }
-            return loss, (metrics, out.radius)
 
         N = scene.alive.shape[0]
         uv0 = jnp.zeros((N, 2))
@@ -299,10 +315,9 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
 
         # densification statistics: ndc-scale grad norms
         # (alpha_blending_enhanced.py:121-129 — duv * (W/2, H/2))
-        ndc_grad = duv * jnp.array([cfg.width / 2.0, cfg.height / 2.0])
-        gnorm = jnp.linalg.norm(ndc_grad, axis=-1)
         dstate = _density.accumulate_stats(
-            state.densify_state, radius > 0, radius, gnorm
+            state.densify_state, radius > 0, radius,
+            viewspace_grad_norm(cfg, duv),
         )
 
         return (
@@ -325,6 +340,14 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
         return TrainState(scene, opt_state, state.densify_state, state.step, state.key)
 
     return train_step, density_step, opacity_reset_step
+
+
+def viewspace_grad_norm(cfg: TrainerConfig, duv: "jnp.ndarray") -> "jnp.ndarray":
+    """ndc-scale viewspace grad norms for densification
+    (alpha_blending_enhanced.py:121-129 — duv * (W/2, H/2))."""
+    ndc_grad = duv * jnp.array([cfg.width / 2.0, cfg.height / 2.0])
+    return jnp.linalg.norm(ndc_grad, axis=-1)
+
 
 
 def _render_with_sinks(inp, extr, rcfg, extra, white_bg, uv_sink, abs_sink,

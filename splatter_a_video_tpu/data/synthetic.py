@@ -27,6 +27,22 @@ class SyntheticClipConfig:
     blob_radius: float = 6.0
     track_grid: int = 4      # query-point stride, like TAPIR grid_size=4
     seed: int = 0
+    # --- adversarial "textured" variant ------------------------------
+    # The flat-colored blob clip is trivially trackable: the photometric
+    # term alone solves correspondence (which is why the blob harness
+    # needs loss_flow_weight=20 vs the production 2). With texture=True
+    # the clip becomes a scene where photometric loss CANNOT cheat:
+    #   * fg blobs and bg carry procedural random-Fourier noise textures,
+    #   * each blob rotates (rot_turns over the clip) and oscillates in
+    #     scale (1 ± scale_amp) — nonrigid 2D deformation that per-point
+    #     trajectories must absorb,
+    #   * a textured occluder bar sweeps across the frame in front of
+    #     everything, producing real occlusion crossings in the GT tracks.
+    # texture=False output stays byte-identical to the original clip.
+    texture: bool = False
+    occluder: bool = True     # textured variant only: moving occluder bar
+    rot_turns: float = 0.5    # fg rotation over the whole clip (turns)
+    scale_amp: float = 0.25   # fg scale oscillation amplitude
 
 
 def _blob_centers(cfg: SyntheticClipConfig, t: float, rng_phase: np.ndarray) -> np.ndarray:
@@ -45,8 +61,177 @@ def _blob_centers(cfg: SyntheticClipConfig, t: float, rng_phase: np.ndarray) -> 
     return base + amp * np.concatenate([np.sin(ang), np.cos(ang * 1.5)], axis=1)[:, :2]
 
 
+def _fourier_tex(rng: np.random.RandomState, freq: float, n: int = 24):
+    """Smooth procedural RGB texture sampled at continuous 2D coords.
+
+    Random Fourier features (cos of random-frequency planes) mixed into 3
+    channels — band-limited so bilinear track sampling stays faithful, yet
+    rich enough that a local patch is unique (photometric matching has a
+    single basin). `freq` is the frequency std in rad/px.
+    """
+    Wf = rng.normal(0.0, freq, (n, 2))
+    ph = rng.uniform(0.0, 2 * np.pi, n)
+    A = rng.normal(0.0, 1.0, (n, 3)) / np.sqrt(n)
+
+    def tex(pts: np.ndarray) -> np.ndarray:  # [N, 2] -> [N, 3] in [0, 1]
+        v = np.cos(pts @ Wf.T + ph) @ A
+        return (0.5 + 0.45 * np.tanh(1.8 * v)).astype(np.float32)
+
+    return tex
+
+
+def _rot2(theta: np.ndarray) -> np.ndarray:
+    """[..., 2, 2] rotation matrices."""
+    c, s = np.cos(theta), np.sin(theta)
+    return np.stack(
+        [np.stack([c, -s], -1), np.stack([s, c], -1)], axis=-2
+    )
+
+
+def _make_textured_clip(cfg: SyntheticClipConfig) -> VideoFlowData:
+    """The adversarial variant: textured fg/bg, per-blob rotation + scale
+    oscillation, and a textured occluder bar sweeping in front of
+    everything. GT tracks follow the similarity transform of their owner
+    object and carry real occlusion logits (occluder crossings, inter-blob
+    cover, out-of-frame).
+
+    Quality bar this feeds: the reference's DAVIS numbers
+    (`/root/reference/README.md:22`) are measured on real textured video
+    at loss_flow_weight=2 (`src/configs/config.txt`); the blob clip only
+    binds tracking at weight 20, so it cannot validate the production
+    loss balance — this clip can.
+    """
+    rng = np.random.RandomState(cfg.seed)
+    W, H, T, K = cfg.width, cfg.height, cfg.num_frames, cfg.num_blobs
+    phases = rng.rand(K)
+    depths_k = np.linspace(0.8, 1.6, K)
+    # per-blob pose parameters
+    rot_dirs = np.where(rng.rand(K) < 0.5, -1.0, 1.0)
+    scale_ph = rng.uniform(0.0, 2 * np.pi, K)
+    # textures: one per blob (sampled in the blob's local frame, units of
+    # pixels at scale 1), one for bg, one for the occluder
+    tex_scale = max(cfg.blob_radius / 6.0, 1.0)  # keep features ~4-8 px
+    blob_tex = [_fourier_tex(rng, 0.9 / tex_scale) for _ in range(K)]
+    bg_tex = _fourier_tex(rng, 0.35 / tex_scale)
+    occ_tex = _fourier_tex(rng, 0.7 / tex_scale)
+    occ_w = 0.14 * W            # occluder bar half-... full width
+    occ_depth = 0.5             # in front of every blob (min blob 0.8)
+
+    def blob_theta(t: float) -> np.ndarray:  # [K]
+        return 2 * np.pi * cfg.rot_turns * t * rot_dirs
+
+    def blob_scale(t: float) -> np.ndarray:  # [K]
+        return 1.0 + cfg.scale_amp * np.sin(2 * np.pi * t + scale_ph)
+
+    def occ_cx(t: float) -> float:
+        # sweep fully across: starts just off the left edge, exits right
+        return -occ_w + t * (W + 2 * occ_w) if cfg.occluder else -1e9
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    pix = np.stack([xx, yy], axis=-1)  # [H, W, 2]
+    frames, masks, disps = [], [], []
+    centers_t, theta_t, scale_t, occx_t = [], [], [], []
+    for f in range(T):
+        t = f / max(T - 1, 1)
+        centers = _blob_centers(cfg, t, phases)
+        th, sc, ocx = blob_theta(t), blob_scale(t), occ_cx(t)
+        centers_t.append(centers); theta_t.append(th)
+        scale_t.append(sc); occx_t.append(ocx)
+        img = bg_tex(pix.reshape(-1, 2)).reshape(H, W, 3)
+        depth = (2.0 + 0.8 * (yy / H) + 0.2 * (xx / W)).astype(np.float32)
+        mask = np.zeros((H, W), bool)
+        for k in np.argsort(-depths_k):  # back-to-front
+            rel = pix - centers[k]
+            inside = (rel**2).sum(-1) < (cfg.blob_radius * sc[k]) ** 2
+            local = (rel[inside] @ _rot2(np.float64(th[k]))) / sc[k]
+            img[inside] = blob_tex[k](local)
+            depth[inside] = depths_k[k]
+            mask |= inside
+        if cfg.occluder:
+            occ_in = np.abs(xx - ocx) < occ_w / 2
+            img[occ_in] = occ_tex(
+                (pix[occ_in] - [ocx, 0.0]).astype(np.float32))
+            depth[occ_in] = occ_depth
+            mask |= occ_in
+        frames.append(img)
+        masks.append(mask)
+        disps.append(1.0 / depth)
+    centers_t = np.stack(centers_t)         # [T, K, 2]
+    theta_t = np.stack(theta_t)             # [T, K]
+    scale_t = np.stack(scale_t)             # [T, K]
+    occx_t = np.asarray(occx_t)             # [T]
+
+    # GT tracks: owner = occluder > nearest covering blob > static bg.
+    # target(tt) = similarity transform of the owner; occlusion checks
+    # out-of-frame, occluder cover, and any nearer blob's cover.
+    tracks: Dict[Tuple[int, int], np.ndarray] = {}
+    g = cfg.track_grid
+    OCC_ID, BG_ID = K, -1
+    for q in range(T):
+        qy, qx = np.mgrid[0:H:g, 0:W:g]
+        pts = np.stack([qx.ravel(), qy.ravel()], axis=1).astype(np.float64)
+        n = len(pts)
+        rel = pts[:, None, :] - centers_t[q][None]          # [n, K, 2]
+        in_blob = (rel**2).sum(-1) < (cfg.blob_radius * scale_t[q]) ** 2
+        owner = np.where(
+            in_blob.any(1), np.argmin(np.where(
+                in_blob, (rel**2).sum(-1), np.inf), axis=1), BG_ID)
+        if cfg.occluder:
+            owner = np.where(
+                np.abs(pts[:, 0] - occx_t[q]) < occ_w / 2, OCC_ID, owner)
+        # local coords in the owner's frame at q
+        local = np.zeros_like(pts)
+        for k in range(K):
+            m = owner == k
+            local[m] = (rel[m, k] @ _rot2(theta_t[q, k])) / scale_t[q, k]
+        m = owner == OCC_ID
+        local[m] = pts[m] - [occx_t[q], 0.0]
+        own_depth = np.where(
+            owner == OCC_ID, occ_depth,
+            np.where(owner == BG_ID, np.inf,
+                     depths_k[np.clip(owner, 0, K - 1)]))
+        for tt in range(T):
+            target = pts.copy()
+            for k in range(K):
+                m = owner == k
+                target[m] = centers_t[tt, k] + scale_t[tt, k] * (
+                    local[m] @ _rot2(theta_t[tt, k]).T)
+            m = owner == OCC_ID
+            target[m] = local[m] + [occx_t[tt], 0.0]
+            inb = (
+                (target[:, 0] >= 0) & (target[:, 0] <= W - 1)
+                & (target[:, 1] >= 0) & (target[:, 1] <= H - 1)
+            )
+            # covered by a strictly nearer object at tt?
+            covered = np.zeros(n, bool)
+            if cfg.occluder:
+                covered |= (own_depth > occ_depth + 1e-6) & (
+                    np.abs(target[:, 0] - occx_t[tt]) < occ_w / 2)
+            for k in range(K):
+                d2k = ((target - centers_t[tt, k]) ** 2).sum(-1)
+                covered |= (own_depth > depths_k[k] + 1e-6) & (
+                    d2k < (cfg.blob_radius * scale_t[tt, k]) ** 2)
+            occ = np.where(inb & ~covered, -8.0, 8.0).astype(np.float32)
+            dist = np.full(n, -8.0, np.float32)
+            tracks[(q, tt)] = np.concatenate(
+                [target.astype(np.float32), occ[:, None], dist[:, None]],
+                axis=1,
+            ).astype(np.float32)
+
+    data = VideoFlowData(
+        frames=frames,
+        depths_raw=[1.0 / d for d in disps],
+        masks_raw=masks,
+        tracks=tracks,
+        mask_erosion_radius=2,
+    )
+    return data.setup()
+
+
 def make_clip(cfg: SyntheticClipConfig) -> VideoFlowData:
     """Generate a clip and wrap it in a ready `VideoFlowData`."""
+    if cfg.texture:
+        return _make_textured_clip(cfg)
     rng = np.random.RandomState(cfg.seed)
     W, H, T, K = cfg.width, cfg.height, cfg.num_frames, cfg.num_blobs
     phases = rng.rand(K)

@@ -55,36 +55,44 @@ def _alarm_budgeted(sec):
     _alarm(max(1, min(int(sec), int(_remaining()))))
 
 
-def probe_backend(timeout_s=60, attempts=3):
+def probe_backend(timeout_s=60, reserve_s=300.0):
     """Fast proof the device answers before any expensive compile.
 
     A trivial jit on a dead axon relay hangs in compile; 60 s is ~2x the
     worst observed healthy first-compile of this one-matmul program.
-    Retried: single probes can time out transiently on a healthy relay
-    (observed 2026-08-19: probe timeout one minute after a clean e2e run,
-    next probe 1.6 s) — only consecutive failures mean the relay is down."""
+    Single probes can time out transiently on a healthy relay (observed
+    2026-08-19: probe timeout one minute after a clean e2e run, next probe
+    1.6 s), and relay outages come in few-minute windows (BENCH_r03 was
+    voided by one while the same session validated fine an hour earlier) —
+    so instead of a fixed attempt count, KEEP probing every ~30 s until
+    only `reserve_s` of the global budget remains: enough for one
+    warm-cache flagship config run. The relay coming back 10 minutes in
+    still yields a real number instead of a {value: 0.0} record."""
     import jax
     import jax.numpy as jnp
 
     last = None
-    for i in range(attempts):
-        if _remaining() < 5:
-            raise last if last is not None else Timeout()
+    attempt = 0
+    while True:
+        attempt += 1
         _alarm_budgeted(timeout_s)
         try:
             v = float(jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((777, 333))))
             dev = str(jax.devices()[0])
             _clear()
-            print(f"# probe ok ({dev}): {v}", file=sys.stderr)
+            print(f"# probe ok ({dev}) on attempt {attempt}: {v}",
+                  file=sys.stderr)
             return
         except (Timeout, Exception) as e:  # noqa: BLE001
             last = e
-            print(f"# probe attempt {i + 1}/{attempts} failed: "
-                  f"{type(e).__name__}", file=sys.stderr)
+            print(
+                f"# probe attempt {attempt} failed ({type(e).__name__}); "
+                f"{_remaining():.0f}s of budget left", file=sys.stderr)
         finally:
             _clear()
-        time.sleep(min(10, max(1, _remaining() / 60)))
-    raise last
+        if _remaining() < reserve_s + timeout_s:
+            raise last
+        time.sleep(min(30.0, max(5.0, _remaining() / 20.0)))
 
 
 def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):

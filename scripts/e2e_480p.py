@@ -1,12 +1,18 @@
-"""Production-scale e2e quality harness: 854x480, ~100k gaussians, >=5k
-steps on a synthetic clip — the scale of the reference's DAVIS runs
-(`/root/reference/README.md:13-22`, 480p, 100k init points, 20k iters).
+"""Production-scale e2e quality harness: 854x480, 100k init gaussians,
+20k steps, production density control — the exact run shape of the
+reference's DAVIS benchmarks (`/root/reference/README.md:13-22`: 480p,
+100k init points `frag_gs_v10.yaml:18`, 20k iters `config.txt:17`,
+opacity reset every 3000 + unconditional size prune
+`atlas_gs_optimizer.py:362` via `frag_gs_v10.yaml:24`).
 
 Reports recon (PSNR/SSIM/LPIPS-fallback) + TAP-Vid tracking + wall time and
 writes METRICS_480p.json at the repo root for the README to cite.
 
-Env knobs: E480_STEPS (default 5000), E480_FRAMES (48), E480_QUICK=1
-(tiny sanity config for plumbing tests).
+Env knobs: E480_STEPS (default 20000), E480_FRAMES (48), E480_QUICK=1
+(tiny sanity config for plumbing tests), E480_TEXTURE=1 (textured
+adversarial clip at the production flow weight 2 instead of the
+textureless blob clip), E480_DENSIFY / E480_GRAD_TH / E480_RESET_INT /
+E480_SIZE_PRUNE_ALWAYS (density-control bisect knobs).
 """
 import json
 import os
@@ -34,10 +40,12 @@ from splatter_a_video_tpu.ops import rasterize
 from splatter_a_video_tpu.train import density, fit, optim, trainer
 
 QUICK = os.environ.get("E480_QUICK", "0") == "1"
-STEPS = int(os.environ.get("E480_STEPS", "300" if QUICK else "5000"))
+TEXTURE = os.environ.get("E480_TEXTURE", "0") == "1"
+STEPS = int(os.environ.get("E480_STEPS", "300" if QUICK else "20000"))
 T = int(os.environ.get("E480_FRAMES", "8" if QUICK else "48"))
 W, H = (214, 120) if QUICK else (854, 480)
 FG, BG = (500, 300) if QUICK else (60_000, 40_000)
+INIT_N = 800 if QUICK else 100_000   # topped up with depth-unprojected pts
 MAXI = (1 << 15) if QUICK else (1 << 19)
 NTRACK = 512 if QUICK else 4096
 
@@ -45,37 +53,47 @@ clip = synthetic.make_clip(
     synthetic.SyntheticClipConfig(
         width=W, height=H, num_frames=T,
         blob_radius=(10.0 if QUICK else 42.0), num_blobs=6,
-        # stride-2 query grid: ~102k tracks, enough to lift the full 100k
-        # init points of the reference's DAVIS scale (stride 4 caps at 25k)
+        # stride-2 query grid: ~100k raw queries; after the reference's
+        # visibility/confidence filtering this realizes ~28k lifted tracks
+        # at 480p — FitConfig.init_num_points tops the rest up to 100k
         track_grid=2 if not QUICK else 4,
+        texture=TEXTURE,
     )
 )
+# textureless blobs let the photometric term cheat correspondence, so the
+# blob clip needs flow weight 20 to make tracking bind (see the r3 bisect);
+# the TEXTURED clip uses the reference's production weight 2
+# (`configs/config.txt`: loss_flow_weight=2)
+FLOW_W = float(os.environ.get("E480_FLOW_W", "2.0" if TEXTURE else "20.0"))
 fcfg = fit.FitConfig(
     num_iters=STEPS, num_fg_samples=FG, num_bg_samples=BG,
-    num_track_samples=NTRACK, log_every=max(STEPS // 20, 1),
+    num_track_samples=NTRACK, log_every=max(STEPS // 40, 1),
     capacity_factor=1.31,  # ~131k capacity at 100k init (flagship shape)
+    init_num_points=INIT_N,
 )
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T,
-    # the synthetic blobs are textureless at every scale, so the
-    # photometric term alone "cheats" correspondence exactly as in the
-    # toy harness (scripts/e2e_tpu.py) — the synthetic-scene flow weight
-    # is 20; production DAVIS keeps the reference's 2 (frag_gs_v10.yaml)
-    loss_flow_weight=float(os.environ.get("E480_FLOW_W", "20.0")),
+    loss_flow_weight=FLOW_W,
     num_track_samples=NTRACK, max_intersections=MAXI,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(
+        # production values: frag_gs_v10.yaml:29-38 (start 500, stop
+        # 100000 i.e. never within 20k iters, reset every 3000, grad
+        # threshold 0.0002) + the atlas optimizer's unconditional size
+        # prune (atlas_gs_optimizer.py:362). cameras_extent=5 is the
+        # DensifyConfig default (trainer_fragGS.py:229).
         densify_start_iter=500,
-        densify_stop_iter=int(STEPS * 0.75),
-        opacity_reset_interval=10**9,
-        # bisect knob for the 2026-08-19 divergence: production DAVIS
-        # threshold is 0.0002; the toy e2e_tpu harness converges at 0.02
+        densify_stop_iter=100_000,
+        opacity_reset_interval=int(
+            os.environ.get("E480_RESET_INT", "3000")),
         densify_grad_threshold=float(
             os.environ.get("E480_GRAD_TH", "0.0002")),
+        size_prune_always=(
+            os.environ.get("E480_SIZE_PRUNE_ALWAYS", "1") == "1"),
     ) if os.environ.get("E480_DENSIFY", "1") == "1" else
     # diagnostic: E480_DENSIFY=0 disables density control entirely (used
-    # to bisect the 2026-08-19 divergence to the unconditional size-prune;
-    # see METRICS_480p_nodensify.json + the PARITY.md §2.7 density row)
+    # to bisect the 2026-08-19 divergence, since root-caused to the
+    # cameras_extent=1.0 bug; see density.DensifyConfig comments)
     density.DensifyConfig(densify_start_iter=STEPS + 1,
                           densify_stop_iter=STEPS + 1,
                           opacity_reset_interval=10**9),
@@ -115,14 +133,15 @@ print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items()}),
 out = {
     "date": time.strftime("%Y-%m-%d"),
     "scale": {"width": W, "height": H, "frames": T, "steps": STEPS,
-              "init_points_requested": FG + BG,
-              # get_tracks_3d filters raw queries by mask/visibility
-              # validity, so realized init << requested (reference
-              # behavior: read_data_simple filters the same way)
+              "texture": TEXTURE, "loss_flow_weight": FLOW_W,
+              "init_points_requested": INIT_N,
               "init_points": int(hist[0]["alive"]),
               "capacity": int(state.scene.cfg.capacity),
               "densify": os.environ.get("E480_DENSIFY", "1") == "1",
-              "densify_grad_threshold": tcfg.densify.densify_grad_threshold},
+              "densify_grad_threshold": tcfg.densify.densify_grad_threshold,
+              "opacity_reset_interval": tcfg.densify.opacity_reset_interval,
+              "size_prune_always": tcfg.densify.size_prune_always,
+              "cameras_extent": tcfg.densify.cameras_extent},
     "train_minutes": round(train_min, 2),
     "final_alive": int(hist[-1]["alive"]),
     "recon": {"psnr": round(float(np.mean(psnrs)), 2),
@@ -132,7 +151,11 @@ out = {
     "tapvid": {k: round(float(v), 2) for k, v in m.items()},
     "hardware": jax.devices()[0].device_kind,
 }
-suffix = "" if os.environ.get("E480_DENSIFY", "1") == "1" else "_nodensify"
+# METRICS_480p.json is the flagship artifact: textured clip, production
+# density control + loss weights. Variant runs get suffixed names.
+suffix = "" if TEXTURE else "_blobs"
+if os.environ.get("E480_DENSIFY", "1") != "1":
+    suffix = "_nodensify"
 dest = os.path.join(os.path.dirname(__file__), "..",
                     f"METRICS_480p{suffix}.json")
 if not QUICK:

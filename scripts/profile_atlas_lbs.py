@@ -96,7 +96,10 @@ step_lbs, _, _ = trainer.make_train_step(cfg, cam.extrinsic)
 state_lbs = trainer.init_train_state(cfg, scene_lbs)
 results["single_lbs_ms"] = bench("single-atlas lbs", step_lbs, state_lbs)
 
-# 2-atlas FragModel step (fg spline-free poly + bg), same total capacity
+# 2-atlas FragModel step, same total capacity. Both atlases use the
+# default poly_fourier trajectory — this measures the ATLAS-SPLIT cost
+# (two scenes, two optimizers, one fused render), not a mixed-trajectory
+# model; single_lbs_ms above covers the alternative family's step cost.
 model = atlas_lib.AtlasModel(atlases={
     "gs_base": make_scene(1 << 16, 50_000, seed=1),
     "gs_fg": make_scene(1 << 16, 50_000, seed=2),

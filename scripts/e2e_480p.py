@@ -114,8 +114,23 @@ scene = state.scene
 cam = camera.canonical_camera(W, H)
 rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=MAXI)
 
+if not QUICK:
+    outdir = os.path.join(os.path.dirname(__file__), "..", "out", "e480")
+    os.makedirs(outdir, exist_ok=True)
+    np.savez(os.path.join(outdir, "final_scene.npz"),
+             **{k: np.asarray(v) for k, v in scene.params.items()},
+             alive=np.asarray(scene.alive))
+
 psnrs, ssims = [], []
 res = inference.render_video(scene, cam, rcfg, list(range(T)))
+# intersection-budget audit: a truncated render (n_int at the budget
+# ceiling) silently degrades eval while training adapts around it
+ni = [int(inference.render_frame(scene, t, np.asarray(cam.extrinsic),
+                                 rcfg).num_intersections)
+      for t in range(0, T, max(T // 6, 1))]
+print(f"eval num_intersections: max {max(ni)} of budget "
+      f"{rcfg.max_intersections} {'*** OVERFLOW ***' if max(ni) >= rcfg.max_intersections else ''}",
+      flush=True)
 for t in range(T):
     psnrs.append(float(metrics.psnr(res["rgb"][t], clip.frames[t])))
     ssims.append(float(metrics.ssim(res["rgb"][t], clip.frames[t])))

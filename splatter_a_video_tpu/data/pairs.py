@@ -78,9 +78,15 @@ class BatchBuilder:
         num_track_samples: int = 4096,
         seed: int = 0,
         use_native: bool = True,
+        slim: bool = False,
     ):
+        """slim=True omits the heavy per-frame tensors (rgb1/depth1/mask1/
+        dino1) — the train step reads them from a device-resident
+        `trainer.FrameStore` instead, cutting the per-step host->device
+        transfer from ~8 MB (480p) to the track batch."""
         self.data = data
         self.P = num_track_samples
+        self.slim = slim
         self.seed = seed
         self.rng = np.random.RandomState(seed)
         # cache per-query grid positions (queries are on the pixel grid,
@@ -121,6 +127,14 @@ class BatchBuilder:
                     [np.ones((N,), bool), np.zeros((pad,), bool)]
                 )
 
+        if self.slim:
+            return Batch(
+                t1=np.int32(t1),
+                t2=np.int32(t2),
+                query_px=qp.astype(np.float32),
+                target_tracks=tt.astype(np.float32),
+                track_valid=valid,
+            )
         dino1 = self.data.get_dino(t1)
         return Batch(
             t1=np.int32(t1),

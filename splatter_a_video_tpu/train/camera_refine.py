@@ -19,7 +19,7 @@ The delta is a twist xi in R^6 left-composed onto the canonical extrinsic
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,6 +134,7 @@ def make_joint_train_step(
     cfg: _trainer.TrainerConfig, extr: np.ndarray, cam_lr: float = 1e-4,
     cam_prior_weight: float = 1e-2, cam_warmup_iters: int = 0,
     cam_lr_warmup_scale: float = 10.0, cam_decay_steps: int = 0,
+    frames: Optional[_trainer.FrameStore] = None,
 ):
     """Train-step variant optimizing scene params AND per-frame camera
     twists jointly. Shares the FULL production loss assembly with
@@ -169,6 +170,7 @@ def make_joint_train_step(
 
     @jax.jit
     def step(state: CamTrainState, batch: _trainer.Batch):
+        batch = _trainer.resolve_batch(frames, batch)
         ts = state.base
         key, sub = jax.random.split(ts.key)
         scene = ts.scene

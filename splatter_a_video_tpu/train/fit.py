@@ -334,8 +334,34 @@ def fit_clip(
 
     scene, scfg = build_scene_from_clip(data, fit_cfg)
     cam = _camera.canonical_camera(W, H)
+    # Device-resident frame store: upload every per-frame supervision
+    # tensor ONCE and gather by t1 inside the jitted step. The per-step
+    # host->device transfer drops from ~8 MB (480p rgb+depth+mask) to the
+    # few-KB track batch — measured 357 ms/step wall vs 34.6 ms device
+    # without it over the TPU relay. The dp stream keeps full batches
+    # (each chip consumes a different t1 from a stacked batch).
+    frames = None
+    if not fit_cfg.distributed:
+        need_mask = (trainer_cfg.mask_attr_weight > 0
+                     or trainer_cfg.fg_layer_weight > 0)
+        need_dino = trainer_cfg.dino_attr_weight > 0
+        dinos = ([data.get_dino(t) for t in range(data.num_frames)]
+                 if need_dino else [None])
+        frames = _trainer.FrameStore(
+            rgb=jnp.asarray(np.stack(
+                [np.asarray(f, np.float32) for f in data.frames])),
+            depth=jnp.asarray(np.stack(
+                [np.asarray(data.get_loss_depth(t), np.float32)
+                 for t in range(data.num_frames)])),
+            mask=jnp.asarray(np.stack(
+                [np.asarray(m, np.float32) for m in data.masks_raw]))
+            if need_mask else None,
+            dino=jnp.asarray(np.stack(
+                [np.asarray(d, np.float32) for d in dinos]))
+            if need_dino and dinos[0] is not None else None,
+        )
     train_step, density_step, opacity_reset = _trainer.make_train_step(
-        trainer_cfg, cam.extrinsic
+        trainer_cfg, cam.extrinsic, frames=frames
     )
     cam_refine_state = None
     if fit_cfg.refine_camera:
@@ -354,6 +380,7 @@ def fit_clip(
             cam_prior_weight=fit_cfg.camera_prior,
             cam_warmup_iters=fit_cfg.camera_warmup,
             cam_decay_steps=cam_decay,
+            frames=frames,
         )
         xi0 = (
             jnp.asarray(fit_cfg.camera_init_xi, jnp.float32)
@@ -445,7 +472,8 @@ def fit_clip(
         sampler = PairSampler(
             PairSamplerConfig(num_frames=data.num_frames, seed=fit_cfg.seed)
         )
-    builder = BatchBuilder(data, fit_cfg.num_track_samples, seed=fit_cfg.seed)
+    builder = BatchBuilder(data, fit_cfg.num_track_samples,
+                           seed=fit_cfg.seed, slim=frames is not None)
 
     frame_errors = None
     if fit_cfg.error_resample_every > 0:

@@ -127,16 +127,53 @@ class Batch(NamedTuple):
 
     t1: jnp.ndarray               # [] int32
     t2: jnp.ndarray               # [] int32
-    rgb1: jnp.ndarray             # [H, W, 3] float32 in [0,1]
-    depth1: jnp.ndarray           # [H, W] float32 (aligned mono-depth)
-    query_px: jnp.ndarray         # [P, 2] float32 query pixels in frame t1
-    target_tracks: jnp.ndarray    # [P, 4] (x, y, occ_logit, expected_dist) at t2
-    track_valid: jnp.ndarray      # [P] bool (padding mask)
+    # rgb1/depth1 (and mask1/dino1 below) may be None when the heavy
+    # per-frame tensors live in a device-resident `FrameStore` instead of
+    # the per-step batch — the step gathers them by t1 on device, so the
+    # host->device traffic per step is a few KB of track data instead of
+    # ~8 MB of frames (which dominated wall time at 480p: 357 ms/step wall
+    # vs 34.6 ms device).
+    rgb1: Optional[jnp.ndarray] = None    # [H, W, 3] float32 in [0,1]
+    depth1: Optional[jnp.ndarray] = None  # [H, W] float32 (aligned mono-depth)
+    query_px: Optional[jnp.ndarray] = None      # [P, 2] float32 query pixels in t1
+    target_tracks: Optional[jnp.ndarray] = None  # [P, 4] (x, y, occ, dist) at t2
+    track_valid: Optional[jnp.ndarray] = None    # [P] bool (padding mask)
     # optional attribute supervision (required iff the corresponding
     # TrainerConfig weight is non-zero): binary fg mask and per-pixel
     # feature target for frame t1 (`trainer_fragGS.py:632-642`)
     mask1: Optional[jnp.ndarray] = None   # [H, W] float32 in {0, 1}
     dino1: Optional[jnp.ndarray] = None   # [H, W, 3] float32
+
+
+class FrameStore(NamedTuple):
+    """Device-resident per-frame supervision tensors, uploaded ONCE.
+
+    The reference reads each frame's rgb/depth/mask from its DataLoader
+    every step (`gs_data2.py:50-88`); shipping them over the TPU relay per
+    step costs ~8 MB/step at 480p. Stacked [T, ...] device arrays + an
+    on-device gather by the traced t1 make the per-step transfer O(track
+    batch) instead.
+
+    mask/dino are optional — only needed when the corresponding attribute
+    supervision weight is non-zero."""
+
+    rgb: jnp.ndarray                      # [T, H, W, 3] float32
+    depth: jnp.ndarray                    # [T, H, W] float32
+    mask: Optional[jnp.ndarray] = None    # [T, H, W] float32
+    dino: Optional[jnp.ndarray] = None    # [T, H, W, C] float32
+
+
+def resolve_batch(frames: Optional[FrameStore], batch: Batch) -> Batch:
+    """Fill a slim Batch's per-frame tensors from the device store (no-op
+    for full batches / when no store is configured)."""
+    if frames is None or batch.rgb1 is not None:
+        return batch
+    return batch._replace(
+        rgb1=frames.rgb[batch.t1],
+        depth1=frames.depth[batch.t1],
+        mask1=batch.mask1 if frames.mask is None else frames.mask[batch.t1],
+        dino1=batch.dino1 if frames.dino is None else frames.dino[batch.t1],
+    )
 
 
 def scene_render_inputs(scene: GaussianScene, t) -> Dict[str, jnp.ndarray]:
@@ -283,8 +320,12 @@ def compute_losses(cfg: TrainerConfig, rcfg, scene, batch: Batch, sub,
     return loss, (metrics, out.radius)
 
 
-def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
-    """Build the jitted train step for a fixed canonical camera."""
+def make_train_step(cfg: TrainerConfig, extr: np.ndarray,
+                    frames: Optional[FrameStore] = None):
+    """Build the jitted train step for a fixed canonical camera.
+
+    With `frames`, per-step batches may be slim (rgb1/depth1/mask1/dino1
+    None) — the step gathers them from the device store by t1."""
     rcfg = cfg.raster_cfg()
     extr_j = jnp.asarray(extr, jnp.float32)
 
@@ -292,6 +333,7 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray):
 
     @jax.jit
     def train_step(state: TrainState, batch: Batch):
+        batch = resolve_batch(frames, batch)
         key, sub = jax.random.split(state.key)
         scene = state.scene
 

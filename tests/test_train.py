@@ -66,6 +66,43 @@ def make_batch(rng, target):
     )
 
 
+class TestFrameStore:
+    def test_slim_batch_matches_full_batch(self):
+        """A slim batch + device FrameStore must produce bit-identical
+        results to the legacy full batch (the store only relocates the
+        per-frame tensors; the math is unchanged)."""
+        scene = make_scene()
+        cfg = tcfg(densify=density.DensifyConfig(densify_start_iter=10**9))
+        cam = camera.canonical_camera(W, H)
+        rng = np.random.RandomState(0)
+        targets = rng.uniform(0, 1, (T, H, W, 3)).astype(np.float32)
+        depths = rng.uniform(0.5, 2.0, (T, H, W)).astype(np.float32)
+        full = make_batch(np.random.RandomState(1), targets[0])
+        full = full._replace(depth1=jnp.asarray(depths[0]))
+        slim = trainer.Batch(
+            t1=full.t1, t2=full.t2, query_px=full.query_px,
+            target_tracks=full.target_tracks, track_valid=full.track_valid,
+        )
+        store = trainer.FrameStore(
+            rgb=jnp.asarray(targets), depth=jnp.asarray(depths)
+        )
+        step_full, _, _ = trainer.make_train_step(cfg, cam.extrinsic)
+        step_slim, _, _ = trainer.make_train_step(
+            cfg, cam.extrinsic, frames=store
+        )
+        st_f, m_f = step_full(trainer.init_train_state(cfg, scene), full)
+        st_s, m_s = step_slim(trainer.init_train_state(cfg, scene), slim)
+        for k in m_f:
+            np.testing.assert_array_equal(
+                np.asarray(m_f[k]), np.asarray(m_s[k]), err_msg=k
+            )
+        for k in st_f.scene.params:
+            np.testing.assert_array_equal(
+                np.asarray(st_f.scene.params[k]),
+                np.asarray(st_s.scene.params[k]), err_msg=k,
+            )
+
+
 class TestTrainStep:
     @pytest.mark.slow
     def test_step_runs_and_loss_finite(self):

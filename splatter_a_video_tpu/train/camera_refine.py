@@ -168,9 +168,12 @@ def make_joint_train_step(
         cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
     )
 
+    # frames as a traced argument, not a closure constant — closed-over
+    # device arrays become HLO literals and the stacked 480p frames blow
+    # the relay's remote-compile body limit (HTTP 413).
     @jax.jit
-    def step(state: CamTrainState, batch: _trainer.Batch):
-        batch = _trainer.resolve_batch(frames, batch)
+    def _step(state: CamTrainState, batch: _trainer.Batch, frames_arg):
+        batch = _trainer.resolve_batch(frames_arg, batch)
         ts = state.base
         key, sub = jax.random.split(ts.key)
         scene = ts.scene
@@ -225,6 +228,9 @@ def make_joint_train_step(
             ts.step + 1, key,
         )
         return CamTrainState(new_base, new_xi, cam_opt_state), metrics
+
+    def step(state: CamTrainState, batch: _trainer.Batch):
+        return _step(state, batch, frames)
 
     return step
 

@@ -331,9 +331,13 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray,
 
     optimizer = _optim.make_optimizer(cfg.optim)
 
+    # `frames` must arrive as a traced argument, NOT a closure constant:
+    # closed-over device arrays are baked into the HLO as literals, and at
+    # 480p the stacked frame tensors are ~300 MB — the axon relay rejects
+    # the remote-compile request body (HTTP 413).
     @jax.jit
-    def train_step(state: TrainState, batch: Batch):
-        batch = resolve_batch(frames, batch)
+    def _train_step(state: TrainState, batch: Batch, frames_arg):
+        batch = resolve_batch(frames_arg, batch)
         key, sub = jax.random.split(state.key)
         scene = state.scene
 
@@ -366,6 +370,9 @@ def make_train_step(cfg: TrainerConfig, extr: np.ndarray,
             TrainState(new_scene, opt_state, dstate, state.step + 1, key),
             metrics,
         )
+
+    def train_step(state: TrainState, batch: Batch):
+        return _train_step(state, batch, frames)
 
     @partial(jax.jit, static_argnames=())
     def density_step(state: TrainState):

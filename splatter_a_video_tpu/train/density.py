@@ -244,14 +244,27 @@ def densify_and_prune(
     alive = alive.at[remove_slots].set(False, mode="drop")
 
     # ---- prune ------------------------------------------------------------
-    # low-opacity always; size tests (screen radii + world scale) gated on
+    # low-opacity always; the WORLD-scale size test gated on
     # step > opacity_reset_interval exactly like `gs_optimizer.py:361-372`,
     # unless cfg.size_prune_always (the `atlas_gs_optimizer.py:362` variant,
     # set by the atlas trainer).
+    #
+    # PARITY — the SCREEN-radius test (`max_radii2D > 20`) is intentionally
+    # absent: in the reference, `densify_clone`/`densify_split` call
+    # `reset_densification_state()` (zeroing max_radii2D) BEFORE `prune`
+    # runs in the same `densification(step)` event (`gs_optimizer.py:
+    # 302,338,361-372`, `atlas_gs_optimizer.py:304,339`), and production
+    # uses duplicate_interval == prune_interval == 100, so the prune always
+    # compares freshly-zeroed stats — the screen test never fires. Round 4
+    # measured what enforcing it actually does at the flagship scale: big
+    # gaussians that re-cover the scene after each opacity reset get
+    # executed at the next event, training quality then declines
+    # MONOTONICALLY (480p/100k textured run: PSNR 23 -> 6 over steps
+    # 2.5k-8k, /tmp/e480_ab_reset.log 2026-08-19). max_radii2d is still
+    # accumulated in DensifyState for diagnostics.
     opacity_act = jax.nn.sigmoid(new_params["opacity"][:, 0])
     size_prune = (
-        (state.max_radii2d > cfg.max_radii2d_px)
-        | (jnp.max(jnp.exp(new_params["scaling"]), axis=-1) > 0.1 * cfg.cameras_extent)
+        jnp.max(jnp.exp(new_params["scaling"]), axis=-1) > 0.1 * cfg.cameras_extent
     )
     if not cfg.size_prune_always:
         size_prune = size_prune & (step > cfg.opacity_reset_interval)

@@ -67,6 +67,7 @@ def make_batch(rng, target):
 
 
 class TestFrameStore:
+    @pytest.mark.slow  # compiles two full train steps (~40 s each on CPU)
     def test_slim_batch_matches_full_batch(self):
         """A slim batch + device FrameStore must produce bit-identical
         results to the legacy full batch (the store only relocates the
@@ -230,7 +231,7 @@ class TestDensityUnit:
         assert int(scene2.num_alive) == 16
 
     def test_size_prune_gated_on_opacity_reset_interval(self):
-        """Size prunes (screen radii / world scale) apply only once
+        """The WORLD-scale size prune applies only once
         step > opacity_reset_interval in the single-atlas path
         (`gs_optimizer.py:361-372`); `size_prune_always` restores the
         unconditional atlas behavior (`atlas_gs_optimizer.py:362`).
@@ -239,13 +240,14 @@ class TestDensityUnit:
         size pruning from the first event shrank a 27.8k scene to 6.1k."""
         def run(step, **kw):
             scene, opt, opt_state, dstate = self._setup(n=20)
-            dstate = density.DensifyState(
-                max_radii2d=jnp.zeros((CAP,)).at[:6].set(100.0),  # huge px
-                pos_grad_accum=jnp.zeros((CAP,)),
-                denom=jnp.ones((CAP,)),
-            )
+            params = dict(scene.params)
+            # 6 points above the world-size bar: exp(scaling) > 0.1*extent
+            big = float(np.log(0.1 * 5.0 * 1.5))
+            params["scaling"] = params["scaling"].at[:6].set(big)
+            scene = scene.replace(params=params)
             cfg = density.DensifyConfig(
-                densify_grad_threshold=1e9, opacity_reset_interval=3000, **kw
+                densify_grad_threshold=1e9, opacity_reset_interval=3000,
+                cameras_extent=5.0, **kw
             )
             _, _, _, info = density.densify_and_prune(
                 scene, opt_state, dstate, jnp.asarray(step), cfg,
@@ -253,9 +255,33 @@ class TestDensityUnit:
             )
             return int(info.num_pruned)
 
-        assert run(600) == 0          # before the gate: big radii survive
+        assert run(600) == 0          # before the gate: big scales survive
         assert run(3500) == 6         # after the gate: pruned
         assert run(600, size_prune_always=True) == 6  # atlas variant
+
+    def test_screen_radius_never_prunes(self):
+        """PARITY: the reference's `max_radii2D > 20` prune is dead code in
+        production — `densify_clone`/`densify_split` zero the stats via
+        `reset_densification_state()` BEFORE `prune` runs in the same
+        event (`gs_optimizer.py:302,338,361-372`, duplicate_interval ==
+        prune_interval == 100), so the screen test always sees zeros.
+        Enforcing it instead executes the big gaussians that re-cover the
+        scene after each opacity reset and training quality declines
+        monotonically (480p/100k r4 run: PSNR 23 -> 6 over steps 2.5k-8k)."""
+        scene, opt, opt_state, dstate = self._setup(n=20)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)).at[:6].set(100.0),  # huge px
+            pos_grad_accum=jnp.zeros((CAP,)),
+            denom=jnp.ones((CAP,)),
+        )
+        cfg = density.DensifyConfig(
+            densify_grad_threshold=1e9, size_prune_always=True
+        )
+        _, _, _, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(600), cfg,
+            jax.random.PRNGKey(0),
+        )
+        assert int(info.num_pruned) == 0
 
     def test_capacity_saturation_reported(self):
         scene, opt, opt_state, dstate = self._setup(n=250)  # only 6 free

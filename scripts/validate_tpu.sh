@@ -1,6 +1,11 @@
 #!/bin/bash
 # One-shot TPU validation pipeline (run after kernel/binning changes or a
 # relay outage): quality e2e -> render bench -> train-step bench.
+#
+# ALWAYS run this (at minimum the bench.py stage) before ending a round if
+# ANY compute-path code changed: it pre-warms .jax_cache so the driver's
+# end-of-round bench doesn't pay 10-15 min remote compiles inside its own
+# budget (that's how BENCH_r02/r03 were lost).
 # Expected (deterministic) e2e numbers: recon PSNR 31.05 SSIM 0.9739;
 # tapvid AJ 69.57 delta 85.46 OA 86.55 TC 0.2.
 # (Goldens moved 2026-08-19: size-prune is now gated on

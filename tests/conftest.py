@@ -18,6 +18,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Compile time dominates the suite (every fit/step test jits a full
+# train-step graph); the persistent cache makes repeat runs — the common
+# "full suite before committing" case — skip unchanged compiles. Keyed on
+# the jaxpr, so any code change recompiles exactly what it touched.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -127,6 +127,111 @@ def _local_cummax(x: jnp.ndarray, max_dist: int) -> jnp.ndarray:
     return x
 
 
+def _monotone_expand_pallas(
+    offs: jnp.ndarray, word_g: jnp.ndarray, M: int, total, *,
+    interpret: bool, row: int = 256, rows_per_step: int = 8,
+):
+    """Pallas replacement for the scatter + fill-forward ragged expansion.
+
+    For every slot s the expansion needs g(s) = the unique gaussian whose
+    slot run covers s, i.e. the largest g with offs[g] <= s (offs is the
+    exclusive prefix-sum of per-gaussian tile counts). The XLA form —
+    scatter one mark per gaussian, segmented fill-forward — pays an
+    M-scale scatter (~0.59 ms at M=2^19 on v5e) plus the fill passes.
+    This kernel exploits monotonicity instead: a ROW of 256 consecutive
+    slots can only be covered by a CONTIGUOUS window of <= 257 gaussians
+    starting at g_lo(row) (PRECONDITION: gaussians with tiles == 0 sort
+    LAST, so offs is strictly increasing over the live prefix — see the
+    dead-last depth key in `_bin_sort_pack_presorted`). The windows are
+    gathered once in XLA (sequential indices, cheap), and the kernel
+    resolves each slot against its row's window with three masked-max
+    reductions — no scatter, no multi-pass fill:
+
+      mask[w, c]  = win_offs[w] <= s[c]            (w: window, c: slot)
+      P1/P2       = max over w of (w << 16) | half16(win_word[w]) masked
+                    — the window-local index w dominates, so both planes
+                    select the SAME argmax w* = g(s)-g_lo and carry one
+                    16-bit half of its record word each
+      P3          = max over w of win_offs[w] masked = offs[g(s)]
+
+      word(s) = (hi16 << 16) | lo16,   j(s) = s - P3.
+
+    Slots >= total resolve against tail windows whose entries are all
+    dead (offs == total): their outputs are garbage-but-deterministic and
+    every consumer masks them with `s < total`, exactly as the XLA path's
+    unscattered slots. Returns (word_f [M] int32, j [M] int32).
+
+    Layouts: windows arrive TRANSPOSED [W, R] so each row's window is a
+    sublane column (no in-kernel transpose); slots ride the 128-lane axis;
+    the masked maxes reduce over sublanes.
+    """
+    from jax.experimental import pallas as pl
+
+    N = offs.shape[0]
+    Wn = row + 8                      # 257 needed; 8-aligned for sublanes
+    Mp = _round_up_int(M, row * rows_per_step)
+    R = Mp // row
+    G = rows_per_step
+
+    row_starts = jnp.arange(R, dtype=jnp.int32) * row
+    # largest g with offs[g] <= row_start  (== searchsorted_right - 1)
+    g_lo = jnp.maximum(_searchsorted_left(offs, row_starts + 1) - 1, 0)
+    idx = jnp.minimum(
+        g_lo[None, :] + jnp.arange(Wn, dtype=jnp.int32)[:, None], N - 1
+    )  # [Wn, R]; clipped tail entries duplicate gaussian N-1, which is
+    #    harmless: duplicates carry identical (offs, word) so the masked
+    #    max picks the same record
+    win_offs = jnp.take(offs, idx)
+    win_word = jnp.take(word_g, idx)
+
+    def kernel(wo_ref, ww_ref, word_ref, j_ref):
+        b = pl.program_id(0)
+        for r in range(G):
+            wo = wo_ref[:, pl.ds(r, 1)]              # [Wn, 1]
+            ww = ww_ref[:, pl.ds(r, 1)]              # [Wn, 1]
+            s = (b * G + r) * row + jax.lax.broadcasted_iota(
+                jnp.int32, (1, row), 1
+            )                                        # [1, row]
+            mask = wo <= s                           # [Wn, row]
+            gl = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
+            lo16 = jnp.bitwise_and(ww, 0xFFFF)
+            hi16 = jax.lax.shift_right_logical(ww, 16)
+            key = jax.lax.shift_left(gl, 16)
+            p1 = jnp.max(jnp.where(mask, key | lo16, -1), axis=0,
+                         keepdims=True)              # [1, row]
+            p2 = jnp.max(jnp.where(mask, key | hi16, -1), axis=0,
+                         keepdims=True)
+            p3 = jnp.max(jnp.where(mask, wo, -1), axis=0, keepdims=True)
+            word = jax.lax.shift_left(
+                jnp.bitwise_and(p2, 0xFFFF), 16
+            ) | jnp.bitwise_and(p1, 0xFFFF)
+            word_ref[pl.ds(r, 1), :] = word
+            j_ref[pl.ds(r, 1), :] = s - p3
+
+    word_f, j = pl.pallas_call(
+        kernel,
+        grid=(R // G,),
+        in_specs=[
+            pl.BlockSpec((Wn, G), lambda b: (0, b)),
+            pl.BlockSpec((Wn, G), lambda b: (0, b)),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, row), lambda b: (b, 0)),
+            pl.BlockSpec((G, row), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, row), jnp.int32),
+            jax.ShapeDtypeStruct((R, row), jnp.int32),
+        ],
+        interpret=interpret,
+    )(win_offs, win_word)
+    return word_f.reshape(-1)[:M], j.reshape(-1)[:M]
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _edges_matmul(rmx, rmy, rw, tiles, tgx, tgy):
     """Per-tile [start, end) edges as TWO rank-1 coverage matmuls (MXU).
 
@@ -166,6 +271,7 @@ def _edges_matmul(rmx, rmy, rw, tiles, tgx, tgy):
     static_argnames=(
         "W", "H", "max_intersections", "max_tiles_per_gaussian", "chunk",
         "block", "sort_mode", "presort", "carry_prepos", "edges_mode",
+        "expand_mode", "interpret",
     ),
 )
 def bin_sort_pack(
@@ -184,6 +290,8 @@ def bin_sort_pack(
     presort: bool = False,
     carry_prepos: bool = False,
     edges_mode: str = "search",
+    expand_mode: str = "fill",
+    interpret: bool = False,
 ) -> Binning:
     """Build the sorted packed intersection stream.
 
@@ -237,6 +345,7 @@ def bin_sort_pack(
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             xb=xb_, yb=yb_, wb=wb_, gbits=gb_,
             carry_prepos=carry_prepos, edges_mode=edges_mode,
+            expand_mode=expand_mode, interpret=interpret,
         )
 
     offs = (jnp.cumsum(tiles) - tiles).astype(jnp.int32)
@@ -470,7 +579,8 @@ def _pack_and_edges(sorted_tile, sorted_gid, channels, T, chunk, edges=None):
 def _bin_sort_pack_presorted(
     depth, tiles, rect_min, rect_max, channels, *,
     tgx, tgy, M, chunk, max_tiles_per_gaussian, xb, yb, wb, gbits,
-    carry_prepos=False, edges_mode="search",
+    carry_prepos=False, edges_mode="search", expand_mode="fill",
+    interpret=False,
 ):
     """Depth-presorted single-scatter binning (see `bin_sort_pack` docs).
 
@@ -489,6 +599,13 @@ def _bin_sort_pack_presorted(
     dk = jax.lax.bitcast_convert_type(
         jnp.maximum(depth.astype(jnp.float32), 0.0), jnp.int32
     )
+    # DEAD-LAST: empty gaussians (tiles == 0) sort after every live one
+    # (0x7FFFFFFF is the f32-NaN bit pattern — unreachable for finite
+    # depths). The image/grads are unaffected (empties own no slots and
+    # the live gaussians' relative order is preserved by the stable
+    # two-key sort); what it buys is a strictly-increasing `offs` over the
+    # live prefix, the window invariant `_monotone_expand_pallas` needs.
+    dk = jnp.where(tiles > 0, dk, jnp.int32(0x7FFFFFFF))
     rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
     rect_w = jnp.minimum(rect_w, (1 << wb) - 1)  # field-width invariant
     pre_edges = None
@@ -529,22 +646,28 @@ def _bin_sort_pack_presorted(
     s = jnp.arange(M, dtype=jnp.int32)
     valid = s < total
 
-    # ---- ONE scatter + bounded fill/cummax -------------------------------
     word_g = (rect_s_g << gbits) | jnp.arange(N, dtype=jnp.int32)
-    row_idx_b, word_g_b = jax.lax.optimization_barrier((row_idx, word_g))
-    word = jnp.zeros((M,), jnp.int32).at[row_idx_b].set(
-        word_g_b, mode="drop", unique_indices=True
-    )
-    word = jax.lax.optimization_barrier(word)
-    has_mark = word != 0
-    # one fused fill: the start position rides as a second row under the
-    # SAME mask (replaces a separate _local_cummax — same bytes, half the
-    # pass count)
-    filled = _fill_forward(
-        has_mark, jnp.stack([word, s]), cap
-    )
-    word_f, start_pos = filled[0], filled[1]
-    j = s - start_pos
+    if expand_mode == "pallas":
+        # ---- monotone-window expansion (Pallas; no scatter, no fill) -----
+        word_f, j = _monotone_expand_pallas(
+            offs, word_g, M, total, interpret=interpret
+        )
+    else:
+        # ---- ONE scatter + bounded fill/cummax ---------------------------
+        row_idx_b, word_g_b = jax.lax.optimization_barrier((row_idx, word_g))
+        word = jnp.zeros((M,), jnp.int32).at[row_idx_b].set(
+            word_g_b, mode="drop", unique_indices=True
+        )
+        word = jax.lax.optimization_barrier(word)
+        has_mark = word != 0
+        # one fused fill: the start position rides as a second row under
+        # the SAME mask (replaces a separate _local_cummax — same bytes,
+        # half the pass count)
+        filled = _fill_forward(
+            has_mark, jnp.stack([word, s]), cap
+        )
+        word_f, start_pos = filled[0], filled[1]
+        j = s - start_pos
 
     sgid = word_f & ((1 << gbits) - 1)
     rect_s = jax.lax.shift_right_logical(word_f, gbits)

@@ -57,6 +57,10 @@ class RasterizeConfig:
     #                                 (binary search on the sorted stream) |
     #                                 "matmul" (MXU coverage counts; render-
     #                                 only win, regresses the train step)
+    expand_mode: str = "auto"       # ragged expansion: "auto" -> "pallas"
+    #                                 (monotone-window kernel, no scatter;
+    #                                 bit-identical) | "fill" (XLA scatter +
+    #                                 segmented fill-forward)
     interpret: Optional[bool] = None
 
 
@@ -125,6 +129,7 @@ def rasterize(
         interpret=cfg.interpret,
         scan_impl=cfg.scan_impl,
         edges_mode=cfg.edges_mode,
+        expand_mode=cfg.expand_mode,
     )
 
     out: Dict[str, jnp.ndarray] = {}

@@ -662,6 +662,7 @@ def _build_splat(
     scan_impl: str = "matmul",
     with_bias: bool = False,
     edges_mode: str = "search",
+    expand_mode: str = "fill",
 ):
     """Construct the custom-vjp splat over (uv, conic, opacity, features,
     abs_sink) for one static configuration. Binning runs inside the fwd;
@@ -717,6 +718,7 @@ def _build_splat(
             # MXU coverage-matmul edges are valid whenever requested
             # (binning._edges_matmul); the caller picks the mode per path
             edges_mode=edges_mode,
+            expand_mode=expand_mode, interpret=interpret,
         )
 
     def fwd_pallas(b: _binning.Binning):
@@ -963,6 +965,7 @@ def splat_scene(
     scan_impl: str = "matmul",
     opacity_bias: Optional[jnp.ndarray] = None,
     edges_mode: str = "search",
+    expand_mode: str = "auto",
 ):
     """Differentiable bin+sort+blend of pre-projected Gaussians.
 
@@ -984,13 +987,18 @@ def splat_scene(
         alpha_grad_mask = (1.0,) * C
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if expand_mode == "auto":
+        # the monotone-window kernel is bit-identical to the fill path and
+        # saves ~0.5 ms/dispatch on TPU (kills the M-scale scatter); it is
+        # the default wherever the presorted pipeline engages
+        expand_mode = "pallas"
     fn = _build_splat(
         C, W, H, tuple(float(x) for x in bg),
         tuple(float(x) for x in alpha_grad_mask), K_idx, chunk,
         max_intersections, max_tiles_per_gaussian, sort_mode,
         tuple(block), interpret, scan_impl,
         with_bias=opacity_bias is not None,
-        edges_mode=edges_mode,
+        edges_mode=edges_mode, expand_mode=expand_mode,
     )
     if opacity_bias is not None:
         return fn(uv, conic, opacity, features, abs_sink, depth, tiles,

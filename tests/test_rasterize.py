@@ -288,6 +288,74 @@ class TestPackedSort:
         np.testing.assert_allclose(imgs["packed"], imgs["exact"], atol=1e-5)
 
 
+class TestMonotoneExpand:
+    """The Pallas monotone-window expansion must be BIT-IDENTICAL to the
+    XLA scatter + fill-forward path on every Binning field — it is the
+    default (`expand_mode="auto"`) on the presorted pipeline, so any
+    deviation is a rendering-correctness bug, not a perf nuance."""
+
+    def _random_binning_inputs(self, seed, n, frac_dead, tile_cap=16):
+        rng = np.random.RandomState(seed)
+        depth = np.abs(rng.randn(n).astype(np.float32)) + 0.01
+        depth[rng.rand(n) < frac_dead] = 0.0
+        tgx, tgy = projection.tile_grid(W, H)
+        rmx = rng.randint(0, max(tgx - 3, 1), n)
+        rmy = rng.randint(0, max(tgy - 3, 1), n)
+        rw = rng.randint(1, 4, n)
+        rh = rng.randint(1, 4, n)
+        tiles = np.where(depth > 0, rw * rh, 0).astype(np.int32)
+        rect_min = np.stack([rmx, rmy], 1).astype(np.int32)
+        rect_max = np.stack([rmx + rw, rmy + rh], 1).astype(np.int32)
+        channels = rng.randn(n, 8).astype(np.float32)
+        return depth, tiles, rect_min, rect_max, channels
+
+    @pytest.mark.parametrize(
+        "seed,n,frac_dead,mi",
+        [
+            (0, 700, 0.3, 1 << 13),
+            (1, 64, 0.0, 1 << 10),
+            (2, 300, 0.95, 1 << 12),   # nearly all dead
+            (3, 900, 0.2, 1 << 11),    # saturated budget (overflow path)
+        ],
+    )
+    def test_bit_identical_to_fill(self, seed, n, frac_dead, mi):
+        depth, tiles, rect_min, rect_max, channels = (
+            self._random_binning_inputs(seed, n, frac_dead)
+        )
+        kw = dict(
+            W=W, H=H, max_intersections=mi, max_tiles_per_gaussian=16,
+            chunk=128, sort_mode="packed", presort=True, carry_prepos=True,
+        )
+        outs = {}
+        for mode in ("fill", "pallas"):
+            outs[mode] = binning.bin_sort_pack(
+                jnp.asarray(depth), jnp.asarray(tiles), jnp.asarray(rect_min),
+                jnp.asarray(rect_max), jnp.asarray(channels),
+                expand_mode=mode, interpret=True, **kw
+            )
+        for f in ("packed", "gid", "edges", "chunk_base",
+                  "num_intersections", "prepos"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs["fill"], f)),
+                np.asarray(getattr(outs["pallas"], f)),
+                err_msg=f,
+            )
+
+    def test_all_dead_scene(self):
+        depth, tiles, rect_min, rect_max, channels = (
+            self._random_binning_inputs(4, 128, 1.0)
+        )
+        b = binning.bin_sort_pack(
+            jnp.asarray(depth), jnp.asarray(tiles), jnp.asarray(rect_min),
+            jnp.asarray(rect_max), jnp.asarray(channels),
+            W=W, H=H, max_intersections=1 << 10, max_tiles_per_gaussian=16,
+            chunk=128, sort_mode="packed", presort=True,
+            expand_mode="pallas", interpret=True,
+        )
+        assert int(b.num_intersections) == 0
+        assert (np.asarray(b.gid) == -1).all()
+
+
 class TestWideTiles:
     def test_32x16_matches_oracle(self):
         """Rectangular (32, 16) tiles must reproduce the oracle exactly

@@ -46,7 +46,11 @@ T = int(os.environ.get("E480_FRAMES", "8" if QUICK else "48"))
 W, H = (214, 120) if QUICK else (854, 480)
 FG, BG = (500, 300) if QUICK else (60_000, 40_000)
 INIT_N = 800 if QUICK else 100_000   # topped up with depth-unprojected pts
-MAXI = (1 << 15) if QUICK else (1 << 19)
+# 1 << 20: the r4 production-density run measured 684k true intersections
+# at 131k gaussians once footprints grow freely (the reference has NO
+# intersection budget — dynamic allocation); 1 << 19 silently truncated
+# training AND eval renders (/tmp/e480_fix6k.log)
+MAXI = (1 << 15) if QUICK else int(os.environ.get("E480_MAXI", str(1 << 20)))
 NTRACK = 512 if QUICK else 4096
 
 clip = synthetic.make_clip(
@@ -104,6 +108,8 @@ state, hist = fit.fit_clip(
     clip, fcfg, tcfg,
     callback=lambda s, m: print(
         f"step {s}: loss={m['loss']:.3f} psnr={m['psnr']:.2f} "
+        f"rgb={m['loss_rgb']:.3f} flow={m['loss_flow']:.3f} "
+        f"depth={m['loss_depth']:.3f} arap={m['loss_arap']:.4f} "
         f"alive={m['alive']} {s/(time.time()-t0):.1f} it/s", flush=True,
     ),
 )

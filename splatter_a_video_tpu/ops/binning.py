@@ -129,7 +129,7 @@ def _local_cummax(x: jnp.ndarray, max_dist: int) -> jnp.ndarray:
 
 def _monotone_expand_pallas(
     offs: jnp.ndarray, word_g: jnp.ndarray, M: int, total, *,
-    interpret: bool, row: int = 256, rows_per_step: int = 8,
+    interpret: bool, row: int = 128, rows_per_step: int = 128,
 ):
     """Pallas replacement for the scatter + fill-forward ragged expansion.
 
@@ -161,14 +161,20 @@ def _monotone_expand_pallas(
     every consumer masks them with `s < total`, exactly as the XLA path's
     unscattered slots. Returns (word_f [M] int32, j [M] int32).
 
-    Layouts: windows arrive TRANSPOSED [W, R] so each row's window is a
-    sublane column (no in-kernel transpose); slots ride the 128-lane axis;
-    the masked maxes reduce over sublanes.
+    Layouts (shaped by Mosaic's block rule: the last two block dims must
+    be multiples of (8, 128) or span the array): windows arrive TRANSPOSED
+    [Wn, R] with a (Wn, 128)-row block per grid step; slot rows are walked
+    with a fori_loop, each row's window column extracted by a masked
+    lane-reduction (dynamic LANE slicing is not lowerable; a select+sum
+    over 128 lanes is, and costs ~5% of the row's plane work); the masked
+    maxes then reduce over SUBLANES so the per-row result lands on the
+    lane axis and stores with a dynamic SUBLANE offset — no relayouts
+    anywhere.
     """
     from jax.experimental import pallas as pl
 
     N = offs.shape[0]
-    Wn = row + 8                      # 257 needed; 8-aligned for sublanes
+    Wn = _round_up_int(row + 1, 8)    # row+1 gaussians can cover a row
     Mp = _round_up_int(M, row * rows_per_step)
     R = Mp // row
     G = rows_per_step
@@ -186,17 +192,23 @@ def _monotone_expand_pallas(
 
     def kernel(wo_ref, ww_ref, word_ref, j_ref):
         b = pl.program_id(0)
-        for r in range(G):
-            wo = wo_ref[:, pl.ds(r, 1)]              # [Wn, 1]
-            ww = ww_ref[:, pl.ds(r, 1)]              # [Wn, 1]
-            s = (b * G + r) * row + jax.lax.broadcasted_iota(
-                jnp.int32, (1, row), 1
-            )                                        # [1, row]
+        wo_blk = wo_ref[...]                         # [Wn, G]
+        ww_blk = ww_ref[...]                         # [Wn, G]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Wn, G), 1)
+        gl = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
+        key = jax.lax.shift_left(gl, 16)
+        s_lane = jax.lax.broadcasted_iota(jnp.int32, (1, row), 1)
+
+        def body(r, _):
+            sel = lane == r
+            wo = jnp.sum(jnp.where(sel, wo_blk, 0), axis=1,
+                         keepdims=True)              # [Wn, 1]
+            ww = jnp.sum(jnp.where(sel, ww_blk, 0), axis=1,
+                         keepdims=True)
+            s = (b * G + r) * row + s_lane           # [1, row]
             mask = wo <= s                           # [Wn, row]
-            gl = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
             lo16 = jnp.bitwise_and(ww, 0xFFFF)
             hi16 = jax.lax.shift_right_logical(ww, 16)
-            key = jax.lax.shift_left(gl, 16)
             p1 = jnp.max(jnp.where(mask, key | lo16, -1), axis=0,
                          keepdims=True)              # [1, row]
             p2 = jnp.max(jnp.where(mask, key | hi16, -1), axis=0,
@@ -207,6 +219,9 @@ def _monotone_expand_pallas(
             ) | jnp.bitwise_and(p1, 0xFFFF)
             word_ref[pl.ds(r, 1), :] = word
             j_ref[pl.ds(r, 1), :] = s - p3
+            return 0
+
+        jax.lax.fori_loop(0, G, body, 0)
 
     word_f, j = pl.pallas_call(
         kernel,

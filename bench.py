@@ -140,6 +140,7 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         return rasterize.RasterizeConfig(
             width=W, height=H, max_intersections=mi, block_x=32, block_y=16,
             max_tiles_per_gaussian=32, chunk=256, edges_mode="matmul",
+            expand_mode=os.environ.get("BENCH_EXPAND", "auto"),
         )
 
     # ---- probe the true intersection count, then size the budget --------

@@ -138,21 +138,21 @@ def _monotone_expand_pallas(
     exclusive prefix-sum of per-gaussian tile counts). The XLA form —
     scatter one mark per gaussian, segmented fill-forward — pays an
     M-scale scatter (~0.59 ms at M=2^19 on v5e) plus the fill passes.
-    This kernel exploits monotonicity instead: a ROW of 256 consecutive
-    slots can only be covered by a CONTIGUOUS window of <= 257 gaussians
+    This kernel exploits monotonicity instead: a ROW of `row` consecutive
+    slots can only be covered by a CONTIGUOUS window of <= row+1 gaussians
     starting at g_lo(row) (PRECONDITION: gaussians with tiles == 0 sort
     LAST, so offs is strictly increasing over the live prefix — see the
     dead-last depth key in `_bin_sort_pack_presorted`). The windows are
     gathered once in XLA (sequential indices, cheap), and the kernel
-    resolves each slot against its row's window with three masked-max
-    reductions — no scatter, no multi-pass fill:
+    resolves slots against them with masked-max reductions — no scatter,
+    no multi-pass fill:
 
-      mask[w, c]  = win_offs[w] <= s[c]            (w: window, c: slot)
-      P1/P2       = max over w of (w << 16) | half16(win_word[w]) masked
-                    — the window-local index w dominates, so both planes
-                    select the SAME argmax w* = g(s)-g_lo and carry one
-                    16-bit half of its record word each
-      P3          = max over w of win_offs[w] masked = offs[g(s)]
+      mask[r, w] = win_offs[r, w] <= s(r, c)        (r: row, w: window)
+      P1/P2      = max over w of (w << 16) | half16(win_word[r, w]) masked
+                   — the window-local index w dominates, so both planes
+                   select the SAME argmax w* = g(s)-g_lo and carry one
+                   16-bit half of its record word each
+      P3         = max over w of win_offs[r, w] masked = offs[g(s))
 
       word(s) = (hi16 << 16) | lo16,   j(s) = s - P3.
 
@@ -161,20 +161,20 @@ def _monotone_expand_pallas(
     every consumer masks them with `s < total`, exactly as the XLA path's
     unscattered slots. Returns (word_f [M] int32, j [M] int32).
 
-    Layouts (shaped by Mosaic's block rule: the last two block dims must
-    be multiples of (8, 128) or span the array): windows arrive TRANSPOSED
-    [Wn, R] with a (Wn, 128)-row block per grid step; slot rows are walked
-    with a fori_loop, each row's window column extracted by a masked
-    lane-reduction (dynamic LANE slicing is not lowerable; a select+sum
-    over 128 lanes is, and costs ~5% of the row's plane work); the masked
-    maxes then reduce over SUBLANES so the per-row result lands on the
-    lane axis and stores with a dynamic SUBLANE offset — no relayouts
-    anywhere.
+    Layout (shaped by two Mosaic lowering rules: the last two block dims
+    must be multiples of (8, 128) or span the array; dynamic LANE indexing
+    does not lower): rows ride the SUBLANE axis, each row's window rides
+    the LANE axis (padded to 256 with a +inf sentinel), and the kernel
+    iterates over the `row` SLOT OFFSETS c with a STATIC Python loop —
+    with A[r, w] = win_offs[r, w] - s(r, 0), the slot-c mask of every row
+    in the block is just `A <= c`, reductions run over lanes, and each
+    iteration stores one (G, 1) output column at a static lane offset.
+    No relayouts, no dynamic slicing, no per-row extraction.
     """
     from jax.experimental import pallas as pl
 
     N = offs.shape[0]
-    Wn = _round_up_int(row + 1, 8)    # row+1 gaussians can cover a row
+    Wn = 256                          # >= row+1 window, one padding tile
     Mp = _round_up_int(M, row * rows_per_step)
     R = Mp // row
     G = rows_per_step
@@ -182,53 +182,51 @@ def _monotone_expand_pallas(
     row_starts = jnp.arange(R, dtype=jnp.int32) * row
     # largest g with offs[g] <= row_start  (== searchsorted_right - 1)
     g_lo = jnp.maximum(_searchsorted_left(offs, row_starts + 1) - 1, 0)
-    idx = jnp.minimum(
-        g_lo[None, :] + jnp.arange(Wn, dtype=jnp.int32)[:, None], N - 1
-    )  # [Wn, R]; clipped tail entries duplicate gaussian N-1, which is
-    #    harmless: duplicates carry identical (offs, word) so the masked
-    #    max picks the same record
-    win_offs = jnp.take(offs, idx)
+    w_iota = jnp.arange(Wn, dtype=jnp.int32)
+    idx = g_lo[:, None] + w_iota[None, :]            # [R, Wn]
+    # entries beyond row+1 / beyond N can never own a slot of this row:
+    # give them a +inf offs sentinel so the mask is always false there
+    # (within-range clipped duplicates of gaussian N-1 would be harmless
+    # anyway — identical records — but the sentinel also covers the
+    # w > row window tail, where a duplicate would NOT be)
+    oob = (idx >= N) | (w_iota[None, :] > row)
+    idx = jnp.minimum(idx, N - 1)
+    win_offs = jnp.where(oob, jnp.int32(1 << 30), jnp.take(offs, idx))
     win_word = jnp.take(word_g, idx)
 
     def kernel(wo_ref, ww_ref, word_ref, j_ref):
         b = pl.program_id(0)
-        wo_blk = wo_ref[...]                         # [Wn, G]
-        ww_blk = ww_ref[...]                         # [Wn, G]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Wn, G), 1)
-        gl = jax.lax.broadcasted_iota(jnp.int32, (Wn, 1), 0)
+        wo_blk = wo_ref[...]                         # [G, Wn]
+        ww_blk = ww_ref[...]                         # [G, Wn]
+        r_sub = jax.lax.broadcasted_iota(jnp.int32, (G, Wn), 0)
+        s0 = (b * G + r_sub) * row                   # s(r, 0) per sublane
+        A = wo_blk - s0                              # [G, Wn]
+        gl = jax.lax.broadcasted_iota(jnp.int32, (G, Wn), 1)
         key = jax.lax.shift_left(gl, 16)
-        s_lane = jax.lax.broadcasted_iota(jnp.int32, (1, row), 1)
-
-        def body(r, _):
-            sel = lane == r
-            wo = jnp.sum(jnp.where(sel, wo_blk, 0), axis=1,
-                         keepdims=True)              # [Wn, 1]
-            ww = jnp.sum(jnp.where(sel, ww_blk, 0), axis=1,
+        k_lo = key | jnp.bitwise_and(ww_blk, 0xFFFF)
+        k_hi = key | jax.lax.shift_right_logical(ww_blk, 16)
+        s0_col = (b * G + jax.lax.broadcasted_iota(
+            jnp.int32, (G, 1), 0)) * row             # [G, 1]
+        for c in range(row):
+            mask = A <= c                            # [G, Wn]
+            p1 = jnp.max(jnp.where(mask, k_lo, -1), axis=1,
+                         keepdims=True)              # [G, 1]
+            p2 = jnp.max(jnp.where(mask, k_hi, -1), axis=1,
                          keepdims=True)
-            s = (b * G + r) * row + s_lane           # [1, row]
-            mask = wo <= s                           # [Wn, row]
-            lo16 = jnp.bitwise_and(ww, 0xFFFF)
-            hi16 = jax.lax.shift_right_logical(ww, 16)
-            p1 = jnp.max(jnp.where(mask, key | lo16, -1), axis=0,
-                         keepdims=True)              # [1, row]
-            p2 = jnp.max(jnp.where(mask, key | hi16, -1), axis=0,
+            p3 = jnp.max(jnp.where(mask, wo_blk, -1), axis=1,
                          keepdims=True)
-            p3 = jnp.max(jnp.where(mask, wo, -1), axis=0, keepdims=True)
             word = jax.lax.shift_left(
                 jnp.bitwise_and(p2, 0xFFFF), 16
             ) | jnp.bitwise_and(p1, 0xFFFF)
-            word_ref[pl.ds(r, 1), :] = word
-            j_ref[pl.ds(r, 1), :] = s - p3
-            return 0
-
-        jax.lax.fori_loop(0, G, body, 0)
+            word_ref[:, c : c + 1] = word
+            j_ref[:, c : c + 1] = s0_col + c - p3
 
     word_f, j = pl.pallas_call(
         kernel,
         grid=(R // G,),
         in_specs=[
-            pl.BlockSpec((Wn, G), lambda b: (0, b)),
-            pl.BlockSpec((Wn, G), lambda b: (0, b)),
+            pl.BlockSpec((G, Wn), lambda b: (b, 0)),
+            pl.BlockSpec((G, Wn), lambda b: (b, 0)),
         ],
         out_specs=[
             pl.BlockSpec((G, row), lambda b: (b, 0)),

@@ -988,10 +988,14 @@ def splat_scene(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if expand_mode == "auto":
-        # the monotone-window kernel is bit-identical to the fill path and
-        # saves ~0.5 ms/dispatch on TPU (kills the M-scale scatter); it is
-        # the default wherever the presorted pipeline engages
-        expand_mode = "pallas"
+        # MEASURED 2026-08-19 (854x480/100k, 345k slots, v5e): the
+        # monotone-window Pallas kernel is bit-identical but 7.14 -> 22.85
+        # ms/frame SLOWER than the scatter+fill — its per-slot-offset lane
+        # reductions are the wrong shape for the VPU (the fix would be a
+        # merge-path formulation; the windows/A-matrix groundwork is in
+        # binning._monotone_expand_pallas). Keep the XLA path the default;
+        # "pallas" stays available and parity-tested.
+        expand_mode = "fill"
     fn = _build_splat(
         C, W, H, tuple(float(x) for x in bg),
         tuple(float(x) for x in alpha_grad_mask), K_idx, chunk,

@@ -164,6 +164,10 @@ out = {
               "size_prune_always": tcfg.densify.size_prune_always,
               "cameras_extent": tcfg.densify.cameras_extent},
     "train_minutes": round(train_min, 2),
+    # phase split: setup (lift/knn/upload) + first-step compile vs the
+    # steady loop — the headline train-time comparison vs the reference's
+    # ~30 min is `timing.steady_ms * steps`, totals alone hide a 2x
+    "timing": hist[-1].get("timing", {}),
     "final_alive": int(hist[-1]["alive"]),
     "recon": {"psnr": round(float(np.mean(psnrs)), 2),
               "ssim": round(float(np.mean(ssims)), 4),

@@ -230,20 +230,43 @@ class VideoFlowData:
     def get_mask(self, i: int) -> np.ndarray:
         return self._trinary_masks[i]
 
-    def load_target_tracks(self, q: int, targets: List[int], dim: int = 1) -> np.ndarray:
+    def load_target_tracks(
+        self, q: int, targets: List[int], dim: int = 1,
+        rows: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """[N, T, 4] (dim=1) or [T, N, 4] (dim=0) — parity with
-        `video_3d_flow.py:97-112`."""
+        `video_3d_flow.py:97-112`.
+
+        rows: optional [K] row subset applied per target BEFORE the stack —
+        `get_tracks_3d` keeps only ~num_samples/T rows per query frame, and
+        subsampling first avoids materializing the full [N, T, 4] (at 480p
+        stride-2 that's ~78 MB per query frame, ~21 s of np.stack across a
+        48-frame clip; measured 2026-08-20)."""
         if self.tracks is not None:
-            arrs = [self.tracks[(q, t)].astype(np.float32) for t in targets]
+            arrs = [np.asarray(self.tracks[(q, t)], np.float32) for t in targets]
         else:
             qn = self.frame_names[q]
             arrs = [
-                np.load(f"{self.tracks_dir}/{qn}_{self.frame_names[t]}.npy").astype(
-                    np.float32
+                np.asarray(
+                    np.load(f"{self.tracks_dir}/{qn}_{self.frame_names[t]}.npy"),
+                    np.float32,
                 )
                 for t in targets
             ]
+        if rows is not None:
+            arrs = [a[rows] for a in arrs]
         return np.stack(arrs, axis=dim)
+
+    def _num_tracks(self, q: int) -> int:
+        """Row count of query frame q's track arrays (cheap: one array's
+        shape — in-memory dict lookup or a single np.load)."""
+        if self.tracks is not None:
+            return len(self.tracks[(q, q)])
+        qn = self.frame_names[q]
+        return len(
+            np.load(f"{self.tracks_dir}/{qn}_{self.frame_names[q]}.npy",
+                    mmap_mode="r")
+        )
 
     # --- lifting ------------------------------------------------------------
 
@@ -271,12 +294,19 @@ class VideoFlowData:
         outs = []
         cur = 0
         for q in idcs:
-            tr = self.load_target_tracks(q, idcs)  # [N, T, 4]
-            nsel = int(min(per_q, num_samples - cur, len(tr)))
+            # row count without materializing the full [N, T, 4]: every
+            # target array of query q has the same N as the (q, q) pair
+            n_tr = self._num_tracks(q)
+            nsel = int(min(per_q, num_samples - cur, n_tr))
             if nsel <= 0:
                 break
-            if nsel < len(tr):
-                tr = tr[rng.choice(len(tr), nsel, replace=False)]
+            # rng.choice(n, k) consumes the generator identically whether
+            # rows are applied before or after the stack -> bit-identical
+            # selection vs. the subsample-after-load form this replaces
+            rows = (
+                rng.choice(n_tr, nsel, replace=False) if nsel < n_tr else None
+            )
+            tr = self.load_target_tracks(q, idcs, rows=rows)  # [nsel, T, 4]
             cur += len(tr)
             outs.append(
                 self._lift_query(q, tr, depths, fg_masks, extract_fg, thresh)

@@ -245,13 +245,27 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
             for e in trace.get("traceEvents", [])
             if e.get("ph") == "M" and e.get("name") == "process_name"
         }
-        dev_us = sum(
-            e["dur"]
+        # interval-UNION, not a plain sum: device tracks nest a parent
+        # module event ("jit_render_t") over its per-op children, so a sum
+        # double-counts (~2x) — observed 11.85 ms "device" under a 7.3 ms
+        # wall. Busy time = union of [ts, ts+dur) across device-track rows.
+        spans = sorted(
+            (e["ts"], e["ts"] + e["dur"])
             for e in trace.get("traceEvents", [])
             if e.get("ph") == "X" and e.get("dur", 0) > 0
             and ("TPU" in pid_names.get(e["pid"], "")
                  or "/device" in pid_names.get(e["pid"], "").lower())
         )
+        dev_us, cur_s, cur_e = 0.0, None, None
+        for s, t in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    dev_us += cur_e - cur_s
+                cur_s, cur_e = s, t
+            else:
+                cur_e = max(cur_e, t)
+        if cur_e is not None:
+            dev_us += cur_e - cur_s
         dev_ms = dev_us / 1e3 / 3
         print(
             f"# single-dispatch device time: {dev_ms:.2f} ms/frame "

@@ -251,6 +251,7 @@ def _fwd_kernel(
     scan_impl: str,
     interpret: bool,
     with_bias: bool = False,
+    planar: bool = False,
 ):
     PIX = tw * th
     ty, tx, px_x, px_y = _pixel_coords(tgx, tw, th)
@@ -371,9 +372,22 @@ def _fwd_kernel(
 
     T = st[:, 0:1]
     out_cols = [acc[:, i : i + 1] + T * bg[i] for i in range(C)]
-    out_ref[:] = jnp.concatenate(out_cols, axis=1).reshape(1, PIX, C)
-    finalT_ref[:] = T.reshape(1, PIX, 1)
-    ncontrib_ref[:] = st[:, 2:3].astype(jnp.int32).reshape(1, PIX, 1)
+    if planar:
+        # planar [C, H', W'] output: this tile owns the lane slice
+        # [tx*tw, (tx+1)*tw) of the row band; the band block is VMEM-
+        # resident across the inner (tx) grid axis and written back to
+        # HBM once per row, which removes the tiles->image transpose
+        # copy XLA otherwise emits after the kernel (0.28 ms at 480p).
+        # The (PIX, C) -> (C, th, tw) relayout happens in VMEM here.
+        sl = pl.ds(tx * tw, tw)
+        outp = jnp.concatenate(out_cols, axis=1)       # (PIX, C)
+        out_ref[:, :, sl] = outp.T.reshape(C, th, tw)
+        finalT_ref[:, :, sl] = T.reshape(1, th, tw)
+        ncontrib_ref[:, :, sl] = st[:, 2:3].astype(jnp.int32).reshape(1, th, tw)
+    else:
+        out_ref[:] = jnp.concatenate(out_cols, axis=1).reshape(1, PIX, C)
+        finalT_ref[:] = T.reshape(1, PIX, 1)
+        ncontrib_ref[:] = st[:, 2:3].astype(jnp.int32).reshape(1, PIX, 1)
 
 
 # --------------------------------------------------------------------------
@@ -628,7 +642,7 @@ def _bwd_kernel(
 
 
 def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx,
-                      scan_impl, interpret, with_bias=False):
+                      scan_impl, interpret, with_bias=False, planar=False):
     if K_idx:
         (packed_hbm, ids_hbm, out_ref, finalT_ref, ncontrib_ref, gsidx_ref,
          buf, sem, ibuf, isem, st, acc) = rest
@@ -642,6 +656,7 @@ def _fwd_kernel_entry(edges_ref, *rest, C, D, chunk, tgx, tw, th, bg, K_idx,
         gsidx_ref, buf, sem, ibuf, isem, st, acc,
         C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th, bg=bg, K_idx=K_idx,
         scan_impl=scan_impl, interpret=interpret, with_bias=with_bias,
+        planar=planar,
     )
 
 
@@ -721,18 +736,36 @@ def _build_splat(
             expand_mode=expand_mode, interpret=interpret,
         )
 
-    def fwd_pallas(b: _binning.Binning):
+    def fwd_pallas(b: _binning.Binning, planar: bool = False):
+        # planar=True (no-grad render path, K_idx == 0 only): the kernel
+        # writes [C, Hpad, Wpad] row-band blocks directly (each band is
+        # VMEM-resident across the inner grid axis), so the tiles->image
+        # transpose copy disappears. The vjp path keeps the tile layout:
+        # its backward consumes tile-layout residuals.
+        planar = planar and not K_idx
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         inputs = [b.packed]
         if K_idx:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             inputs.append(b.gid.reshape(1, -1))
-        out_shape = [
-            jax.ShapeDtypeStruct((T_tiles, PIX, C), jnp.float32),
-            jax.ShapeDtypeStruct((T_tiles, PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((T_tiles, PIX, 1), jnp.int32),
-        ]
-        out_specs = [tile_block(C), tile_block(1), tile_block(1)]
+        if planar:
+            Wb = tgx * tw
+            band = lambda c: pl.BlockSpec(
+                (c, th, Wb), lambda i, j, *_: (0, i, 0)
+            )
+            out_shape = [
+                jax.ShapeDtypeStruct((C, tgy * th, Wb), jnp.float32),
+                jax.ShapeDtypeStruct((1, tgy * th, Wb), jnp.float32),
+                jax.ShapeDtypeStruct((1, tgy * th, Wb), jnp.int32),
+            ]
+            out_specs = [band(C), band(1), band(1)]
+        else:
+            out_shape = [
+                jax.ShapeDtypeStruct((T_tiles, PIX, C), jnp.float32),
+                jax.ShapeDtypeStruct((T_tiles, PIX, 1), jnp.float32),
+                jax.ShapeDtypeStruct((T_tiles, PIX, 1), jnp.int32),
+            ]
+            out_specs = [tile_block(C), tile_block(1), tile_block(1)]
         if K_idx:
             out_shape.append(jax.ShapeDtypeStruct((T_tiles, PIX, K_idx), jnp.int32))
             out_specs.append(tile_block(K_idx))
@@ -740,7 +773,7 @@ def _build_splat(
         kernel = functools.partial(
             _fwd_kernel_entry, C=C, D=D, chunk=chunk, tgx=tgx, tw=tw, th=th,
             bg=bg, K_idx=K_idx, scan_impl=scan_impl, interpret=interpret,
-            with_bias=with_bias,
+            with_bias=with_bias, planar=planar,
         )
         outs = pl.pallas_call(
             kernel,
@@ -761,6 +794,14 @@ def _build_splat(
             out_shape=out_shape,
             interpret=interpret,
         )(b.edges, *inputs)
+        if planar:
+            # logical transpose back to the [H, W, C] API; XLA's layout
+            # assignment can keep the physical bytes planar for a jit
+            # result instead of materializing the transpose.
+            out = outs[0][:, :H, :W].transpose(1, 2, 0)
+            finalT = outs[1][0, :H, :W]
+            ncontrib = outs[2][0, :H, :W]
+            return out, finalT, ncontrib, None, outs[0], outs[1]
         out = tiles_to_img(outs[0])
         finalT = tiles_to_img(outs[1])[..., 0]
         ncontrib = tiles_to_img(outs[2])[..., 0]
@@ -874,7 +915,7 @@ def _build_splat(
                     rect_min, rect_max, bias):
             b = run_binning(uv, conic, opacity, features, abs_sink, depth,
                             tiles, rect_min, rect_max, bias=bias)
-            out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b)
+            out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=True)
             return out, finalT, ncontrib, gs_idx, b.num_intersections
 
         def splat_b_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,
@@ -906,7 +947,7 @@ def _build_splat(
               rect_min, rect_max):
         b = run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
                         rect_min, rect_max)
-        out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b)
+        out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=True)
         return out, finalT, ncontrib, gs_idx, b.num_intersections
 
     def splat_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,

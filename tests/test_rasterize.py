@@ -177,6 +177,36 @@ class TestSplatParity:
         )
         np.testing.assert_array_equal(np.asarray(gs_idx), np.asarray(ref.gs_idx))
 
+    def test_planar_primal_matches_vjp_fwd_bitexact(self):
+        """The no-grad primal renders via planar [C,H,W] output blocks
+        (rasterize_tpu.fwd_pallas planar=True) while the vjp fwd keeps the
+        tile layout for its backward residuals. custom_vjp requires the two
+        to agree; the layouts must not change a single bit."""
+        key = jax.random.PRNGKey(11)
+        xyz, scale, quat, opacity, feats = make_scene(key)
+        uv, depth, conic, radius, tiles, rmin, rmax = project_scene(xyz, scale, quat)
+
+        def primal():
+            return pallas_render(
+                uv, depth, conic, radius, tiles, rmin, rmax, opacity, feats
+            )
+
+        def via_grad():
+            def f(op):
+                img, finalT, ncontrib, _ = pallas_render(
+                    uv, depth, conic, radius, tiles, rmin, rmax, op, feats
+                )
+                return jnp.sum(img), (img, finalT, ncontrib)
+
+            (_, aux), _ = jax.value_and_grad(f, has_aux=True)(opacity)
+            return aux
+
+        img_p, finalT_p, ncontrib_p, _ = primal()
+        img_g, finalT_g, ncontrib_g = via_grad()
+        np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_g))
+        np.testing.assert_array_equal(np.asarray(finalT_p), np.asarray(finalT_g))
+        np.testing.assert_array_equal(np.asarray(ncontrib_p), np.asarray(ncontrib_g))
+
     def test_opaque_early_termination(self):
         """Opacities near 1 exercise the T<1e-4 termination rule."""
         key = jax.random.PRNGKey(4)

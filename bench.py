@@ -248,25 +248,34 @@ def bench_render(W, H, N, max_int, compile_timeout=900, reps=20, batch=10):
         # interval-UNION, not a plain sum: device tracks nest a parent
         # module event ("jit_render_t") over its per-op children, so a sum
         # double-counts (~2x) — observed 11.85 ms "device" under a 7.3 ms
-        # wall. Busy time = union of [ts, ts+dur) across device-track rows.
-        spans = sorted(
-            (e["ts"], e["ts"] + e["dur"])
-            for e in trace.get("traceEvents", [])
-            if e.get("ph") == "X" and e.get("dur", 0) > 0
-            and ("TPU" in pid_names.get(e["pid"], "")
-                 or "/device" in pid_names.get(e["pid"], "").lower())
-        )
-        dev_us, cur_s, cur_e = 0.0, None, None
-        for s, t in spans:
-            if cur_e is None or s > cur_e:
-                if cur_e is not None:
-                    dev_us += cur_e - cur_s
-                cur_s, cur_e = s, t
-            else:
-                cur_e = max(cur_e, t)
-        if cur_e is not None:
-            dev_us += cur_e - cur_s
-        dev_ms = dev_us / 1e3 / 3
+        # wall. Busy time = union of [ts, ts+dur) PER DEVICE PID, summed
+        # across pids (a global union would collapse concurrent work on
+        # different chips; harmless on this single-v5e setup, correct on
+        # a multi-device trace).
+        by_pid = {}
+        for e in trace.get("traceEvents", []):
+            if (
+                e.get("ph") == "X" and e.get("dur", 0) > 0
+                and ("TPU" in pid_names.get(e["pid"], "")
+                     or "/device" in pid_names.get(e["pid"], "").lower())
+            ):
+                by_pid.setdefault(e["pid"], []).append(
+                    (e["ts"], e["ts"] + e["dur"])
+                )
+        dev_us = 0.0
+        for spans in by_pid.values():
+            spans.sort()
+            cur_s, cur_e = None, None
+            for s, t in spans:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        dev_us += cur_e - cur_s
+                    cur_s, cur_e = s, t
+                else:
+                    cur_e = max(cur_e, t)
+            if cur_e is not None:
+                dev_us += cur_e - cur_s
+        dev_ms = dev_us / 1e3 / len(ts[:3])
         print(
             f"# single-dispatch device time: {dev_ms:.2f} ms/frame "
             f"(= {1e3 / dev_ms:.1f} FPS net of relay RPC)",
@@ -359,6 +368,36 @@ def run():
     }
 
 
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_history.jsonl")
+
+
+def _read_last_good():
+    """Latest committed on-chip measurement, for provenance when the relay
+    is down: a {value: 0.0} capture then still documents when >=baseline
+    was last measured for real instead of erasing the record."""
+    try:
+        last = None
+        with open(HISTORY_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    last = json.loads(line)
+        return last
+    except (OSError, ValueError):
+        return None
+
+
+def _append_history(result):
+    try:
+        entry = dict(result)
+        entry["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError as e:
+        print(f"# could not append bench history: {e}", file=sys.stderr)
+
+
 def main():
     # The one invariant: this process always prints exactly one JSON line,
     # whatever happens above it.
@@ -372,6 +411,11 @@ def main():
             "vs_baseline": 0.0,
             "error": f"unhandled: {type(e).__name__}: {e}",
         }
+    if result.get("value", 0.0) > 0.0:
+        _append_history(result)
+    last_good = _read_last_good()
+    if last_good is not None:
+        result["last_good"] = last_good
     print(json.dumps(result), flush=True)
 
 

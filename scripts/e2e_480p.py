@@ -53,14 +53,20 @@ INIT_N = 800 if QUICK else 100_000   # topped up with depth-unprojected pts
 MAXI = (1 << 15) if QUICK else int(os.environ.get("E480_MAXI", str(1 << 20)))
 NTRACK = 512 if QUICK else 4096
 
+# stride-2 query grid: ~100k raw queries; after the reference's
+# visibility/confidence filtering this realizes ~28k lifted tracks
+# at 480p — FitConfig.init_num_points tops the rest up to 100k.
+# The GT track table is [T, n, 4] per query frame (T^2 * n * 16 B total):
+# 3.8 GB at T=48/stride 2 but 102 GB at T=250/stride 2, so long clips
+# back off to stride 4 (~26 GB) — still ~26k queries/frame, the same
+# realized-track density class as the reference's TAPIR grids.
+GRID = int(os.environ.get(
+    "E480_TRACK_GRID", "4" if QUICK else ("2" if T <= 64 else "4")))
 clip = synthetic.make_clip(
     synthetic.SyntheticClipConfig(
         width=W, height=H, num_frames=T,
         blob_radius=(10.0 if QUICK else 42.0), num_blobs=6,
-        # stride-2 query grid: ~100k raw queries; after the reference's
-        # visibility/confidence filtering this realizes ~28k lifted tracks
-        # at 480p — FitConfig.init_num_points tops the rest up to 100k
-        track_grid=2 if not QUICK else 4,
+        track_grid=GRID,
         texture=TEXTURE,
     )
 )
@@ -69,10 +75,14 @@ clip = synthetic.make_clip(
 # the TEXTURED clip uses the reference's production weight 2
 # (`configs/config.txt`: loss_flow_weight=2)
 FLOW_W = float(os.environ.get("E480_FLOW_W", "2.0" if TEXTURE else "20.0"))
+# capacity sweep knob (VERDICT r4 #3: the flagship run ended 97%
+# saturated; 1.31 -> 131k is the flagship shape, 1.96/2.62 probe whether
+# 26.55 PSNR was capacity-limited)
+CAPF = float(os.environ.get("E480_CAPF", "1.31"))
 fcfg = fit.FitConfig(
     num_iters=STEPS, num_fg_samples=FG, num_bg_samples=BG,
     num_track_samples=NTRACK, log_every=max(STEPS // 40, 1),
-    capacity_factor=1.31,  # ~131k capacity at 100k init (flagship shape)
+    capacity_factor=CAPF,
     init_num_points=INIT_N,
 )
 tcfg = trainer.TrainerConfig(
@@ -123,7 +133,13 @@ rcfg = rasterize.RasterizeConfig(width=W, height=H, max_intersections=MAXI)
 if not QUICK:
     outdir = os.path.join(os.path.dirname(__file__), "..", "out", "e480")
     os.makedirs(outdir, exist_ok=True)
-    np.savez(os.path.join(outdir, "final_scene.npz"),
+    # variant runs (T!=48, capacity sweeps) must not clobber the flagship
+    # scene that the capability artifacts are generated from
+    scene_name = "final_scene.npz"
+    if T != 48 or CAPF != 1.31 or os.environ.get("E480_SUFFIX"):
+        scene_name = (f"final_scene_T{T}_c{CAPF}"
+                      f"{os.environ.get('E480_SUFFIX', '')}.npz")
+    np.savez(os.path.join(outdir, scene_name),
              **{k: np.asarray(v) for k, v in scene.params.items()},
              alive=np.asarray(scene.alive))
 
@@ -154,6 +170,7 @@ print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items()}),
 out = {
     "date": time.strftime("%Y-%m-%d"),
     "scale": {"width": W, "height": H, "frames": T, "steps": STEPS,
+              "track_grid": GRID,
               "texture": TEXTURE, "loss_flow_weight": FLOW_W,
               "init_points_requested": INIT_N,
               "init_points": int(hist[0]["alive"]),
@@ -169,10 +186,24 @@ out = {
     # ~30 min is `timing.steady_ms * steps`, totals alone hide a 2x
     "timing": hist[-1].get("timing", {}),
     "final_alive": int(hist[-1]["alive"]),
+    "saturation": hist[-1].get("saturation"),
+    # cumulative clone/split/prune/DROPPED counts — the repo's no-silent-
+    # caps rule applied to the flagship artifact (capacity-dropped
+    # densify candidates were previously computed but never surfaced)
+    "densify_totals": hist[-1].get("densify_totals"),
+    "eval_num_intersections": {"max": max(ni),
+                               "budget": int(rcfg.max_intersections),
+                               "overflow": max(ni) >= rcfg.max_intersections},
     "recon": {"psnr": round(float(np.mean(psnrs)), 2),
               "ssim": round(float(np.mean(ssims)), 4),
               "lpips_fallback": round(float(np.mean(lp)), 4),
-              "lpips_is_pretrained": lp_pre},
+              "lpips_is_pretrained": lp_pre,
+              # where the loss concentrates along the clip (VERDICT r4
+              # weak #3): densify-event or occlusion-local failures show
+              # up here as outlier frames, a mean alone hides them
+              "psnr_per_frame": [round(p, 2) for p in psnrs],
+              "psnr_min": round(float(np.min(psnrs)), 2),
+              "psnr_max": round(float(np.max(psnrs)), 2)},
     "tapvid": {k: round(float(v), 2) for k, v in m.items()},
     "hardware": jax.devices()[0].device_kind,
 }
@@ -181,6 +212,12 @@ out = {
 suffix = "" if TEXTURE else "_blobs"
 if os.environ.get("E480_DENSIFY", "1") != "1":
     suffix = "_nodensify"
+if T != 48 and not QUICK:
+    suffix += f"_T{T}"   # e.g. the reference-default 250-frame point
+if CAPF != 1.31:
+    suffix += f"_c{int(state.scene.cfg.capacity/1000)}k"
+if os.environ.get("E480_SUFFIX"):
+    suffix += "_" + os.environ["E480_SUFFIX"]
 dest = os.path.join(os.path.dirname(__file__), "..",
                     f"METRICS_480p{suffix}.json")
 if not QUICK:

@@ -241,7 +241,13 @@ class VideoFlowData:
         `get_tracks_3d` keeps only ~num_samples/T rows per query frame, and
         subsampling first avoids materializing the full [N, T, 4] (at 480p
         stride-2 that's ~78 MB per query frame, ~21 s of np.stack across a
-        48-frame clip; measured 2026-08-20)."""
+        48-frame clip; measured 2026-08-20).
+
+        Aliasing contract: the per-target `np.asarray(..., np.float32)`
+        views may alias the in-memory `self.tracks` store when those
+        arrays are already float32 (no defensive copy); the final
+        `np.stack` always copies, so the RETURNED array never aliases the
+        store and is safe to mutate."""
         if self.tracks is not None:
             arrs = [np.asarray(self.tracks[(q, t)], np.float32) for t in targets]
         else:

@@ -481,6 +481,8 @@ def fit_clip(
         frame_errors = _make_frame_error_fn(data, trainer_cfg, cam)
 
     history: List[Dict] = []
+    densify_totals = {"cloned": 0, "split": 0, "pruned": 0, "dropped": 0,
+                      "events": 0}
     t_start = time.time()
     t_first_step = None  # wall after step 1 completes (compile included)
     profiling = False
@@ -511,6 +513,21 @@ def fit_clip(
             t_first_step = time.time()
         if _trainer.should_densify(trainer_cfg, step):
             state, dinfo = density_step(state)
+            # capacity accounting: the reference grows unboundedly
+            # (`points.py:281-395`); our static-capacity design drops
+            # candidates that find no free slot. That cap must never be
+            # silent (SURVEY §7) — accumulate and surface in history.
+            densify_totals["cloned"] += int(dinfo.num_cloned)
+            densify_totals["split"] += int(dinfo.num_split)
+            densify_totals["pruned"] += int(dinfo.num_pruned)
+            densify_totals["dropped"] += int(dinfo.dropped)
+            densify_totals["events"] += 1
+            if int(dinfo.dropped) > 0:
+                print(
+                    f"# densify step {step}: {int(dinfo.dropped)} candidates"
+                    f" dropped (capacity {int(state.scene.cfg.capacity)},"
+                    f" alive {int(dinfo.num_alive)})", flush=True,
+                )
         if _trainer.should_reset_opacity(trainer_cfg, step):
             state = opacity_reset(state)
         if (
@@ -527,6 +544,10 @@ def fit_clip(
             m = {k: float(v) for k, v in metrics.items()}
             m["step"] = step
             m["alive"] = int(state.scene.num_alive)
+            m["capacity"] = int(state.scene.cfg.capacity)
+            m["saturation"] = round(m["alive"] / max(m["capacity"], 1), 4)
+            if densify_totals["events"]:
+                m["densify"] = dict(densify_totals)
             m["wall_s"] = time.time() - t_start
             if fire_log:
                 history.append(m)
@@ -564,17 +585,28 @@ def fit_clip(
     # went (the r3 flagship artifact read 34 min while the steady step was
     # ~50 ms = 17 min); history[-1]["timing"] makes the split citable
     if history:
+        # close the async stream: without this, in-flight device work on
+        # the last step is partially excluded from the measurement
+        jax.block_until_ready(state.scene.params["position"])
         t_end = time.time()
         timing = {"setup_s": round(t_start - t_fit0, 2)}
         if t_first_step is not None:
             timing["first_step_s"] = round(t_first_step - t_start, 2)
             n_steady = int(state.step) - start_step - 1
             if n_steady > 0:
+                # NOTE: steady_ms averages the whole post-compile loop —
+                # densify events, logging, validation, panel renders and
+                # checkpoint hooks included. It is run telemetry, not a
+                # per-step device time (use scripts/bench_train_dense.py
+                # for the closed kernel-level number).
                 timing["steady_ms"] = round(
                     (t_end - t_first_step) / n_steady * 1e3, 3
                 )
+                timing["steady_includes_hooks"] = True
         timing["total_s"] = round(t_end - t_fit0, 2)
         history[-1]["timing"] = timing
+        if densify_totals["events"]:
+            history[-1]["densify_totals"] = dict(densify_totals)
     ctx.step = int(state.step)
     ctx.state = state
     if cam_refine_state is not None:

@@ -50,6 +50,7 @@ channels propagate into d opacity (0 = the `opacity.detach()` channels).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -59,6 +60,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import binning as _binning
+
+# SAV_PLANAR=1 opts no-grad renders into planar band-store outputs,
+# skipping the XLA tiles->image untile copy (~0.28 ms at 480p). DEFAULT
+# OFF: the 2026-08 Mosaic toolchain update rejects the [C,H,W] variant's
+# lane-splitting shape cast (`(4,512) -> (4,16,32)`: "infer-vector-layout:
+# unsupported shape cast"), and the [H,W,C] variant that passes layout
+# inference pads the C=4 lane dim to 128 (41 MB scoped VMEM, 32x HBM) —
+# any tiled-pixel -> planar relayout needs a lane split somewhere, which
+# this toolchain does not support in-kernel. Tile-layout output + the XLA
+# copy is ~4% of frame time; revisit when Mosaic grows lane-split casts.
+_PLANAR_RENDER = os.environ.get("SAV_PLANAR", "0") == "1"
 
 DEFAULT_TILE = (16, 16)  # (w, h); parity default with BLOCK_X/Y=16
 # (config.h:7-10). Wider tiles (32, 16) cut program count + duplicates.
@@ -373,17 +385,21 @@ def _fwd_kernel(
     T = st[:, 0:1]
     out_cols = [acc[:, i : i + 1] + T * bg[i] for i in range(C)]
     if planar:
-        # planar [C, H', W'] output: this tile owns the lane slice
-        # [tx*tw, (tx+1)*tw) of the row band; the band block is VMEM-
+        # direct [H', W', C] output: this tile owns the W-slice
+        # [tx*tw, (tx+1)*tw) of its row band; the band block is VMEM-
         # resident across the inner (tx) grid axis and written back to
         # HBM once per row, which removes the tiles->image transpose
-        # copy XLA otherwise emits after the kernel (0.28 ms at 480p).
-        # The (PIX, C) -> (C, th, tw) relayout happens in VMEM here.
+        # copy XLA otherwise emits after the kernel (0.28 ms at 480p) —
+        # and the result is already in the [H, W, C] API layout, so no
+        # logical transpose either. The (PIX, C) -> (th, tw, C) reshape
+        # splits only the SUBLANE dim (lane dim C unchanged), which
+        # Mosaic supports where the earlier (C, PIX) -> (C, th, tw)
+        # lane-splitting shape cast (2026-08 toolchain) does not.
         sl = pl.ds(tx * tw, tw)
         outp = jnp.concatenate(out_cols, axis=1)       # (PIX, C)
-        out_ref[:, :, sl] = outp.T.reshape(C, th, tw)
-        finalT_ref[:, :, sl] = T.reshape(1, th, tw)
-        ncontrib_ref[:, :, sl] = st[:, 2:3].astype(jnp.int32).reshape(1, th, tw)
+        out_ref[:, sl, :] = outp.reshape(th, tw, C)
+        finalT_ref[:, sl, :] = T.reshape(th, tw, 1)
+        ncontrib_ref[:, sl, :] = st[:, 2:3].astype(jnp.int32).reshape(th, tw, 1)
     else:
         out_ref[:] = jnp.concatenate(out_cols, axis=1).reshape(1, PIX, C)
         finalT_ref[:] = T.reshape(1, PIX, 1)
@@ -751,12 +767,12 @@ def _build_splat(
         if planar:
             Wb = tgx * tw
             band = lambda c: pl.BlockSpec(
-                (c, th, Wb), lambda i, j, *_: (0, i, 0)
+                (th, Wb, c), lambda i, j, *_: (i, 0, 0)
             )
             out_shape = [
-                jax.ShapeDtypeStruct((C, tgy * th, Wb), jnp.float32),
-                jax.ShapeDtypeStruct((1, tgy * th, Wb), jnp.float32),
-                jax.ShapeDtypeStruct((1, tgy * th, Wb), jnp.int32),
+                jax.ShapeDtypeStruct((tgy * th, Wb, C), jnp.float32),
+                jax.ShapeDtypeStruct((tgy * th, Wb, 1), jnp.float32),
+                jax.ShapeDtypeStruct((tgy * th, Wb, 1), jnp.int32),
             ]
             out_specs = [band(C), band(1), band(1)]
         else:
@@ -795,12 +811,10 @@ def _build_splat(
             interpret=interpret,
         )(b.edges, *inputs)
         if planar:
-            # logical transpose back to the [H, W, C] API; XLA's layout
-            # assignment can keep the physical bytes planar for a jit
-            # result instead of materializing the transpose.
-            out = outs[0][:, :H, :W].transpose(1, 2, 0)
-            finalT = outs[1][0, :H, :W]
-            ncontrib = outs[2][0, :H, :W]
+            # already in the [H, W, C] API layout — just crop the pad
+            out = outs[0][:H, :W, :]
+            finalT = outs[1][:H, :W, 0]
+            ncontrib = outs[2][:H, :W, 0]
             return out, finalT, ncontrib, None, outs[0], outs[1]
         out = tiles_to_img(outs[0])
         finalT = tiles_to_img(outs[1])[..., 0]
@@ -915,7 +929,7 @@ def _build_splat(
                     rect_min, rect_max, bias):
             b = run_binning(uv, conic, opacity, features, abs_sink, depth,
                             tiles, rect_min, rect_max, bias=bias)
-            out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=True)
+            out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=_PLANAR_RENDER)
             return out, finalT, ncontrib, gs_idx, b.num_intersections
 
         def splat_b_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,
@@ -947,7 +961,7 @@ def _build_splat(
               rect_min, rect_max):
         b = run_binning(uv, conic, opacity, features, abs_sink, depth, tiles,
                         rect_min, rect_max)
-        out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=True)
+        out, finalT, ncontrib, gs_idx, _, _ = fwd_pallas(b, planar=_PLANAR_RENDER)
         return out, finalT, ncontrib, gs_idx, b.num_intersections
 
     def splat_fwd(uv, conic, opacity, features, abs_sink, depth, tiles,

@@ -190,3 +190,90 @@ def make_dp_train_step(cfg: _trainer.TrainerConfig, extr: np.ndarray, mesh: Mesh
 def stack_batches(batches) -> _trainer.Batch:
     """Stack B host batches into the [B, ...] device batch for dp_step."""
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def make_dp_atlas_step(cfg: _trainer.TrainerConfig, extr: np.ndarray,
+                       mesh: Mesh):
+    """Data-parallel multi-atlas train step: one frame pair per chip,
+    per-atlas grads pmean'd over ICI, redundant per-atlas Adam updates.
+    Reuses the exact single-chip objective + update
+    (`train.atlas_trainer.make_atlas_grad_fn` / `make_atlas_apply_fn`);
+    viewspace-grad stats reduce like the single-atlas DP step (visibility
+    = any, radii = max, grad norms summed — `dptr_ortho_enhanced.py:
+    428-433`)."""
+    from ..train import atlas_trainer as _atlas
+
+    grad_fn = _atlas.make_atlas_grad_fn(cfg, extr)
+    apply_fn = _atlas.make_atlas_apply_fn(cfg)
+
+    @jax.jit
+    @_partial_shmap(mesh)
+    def dp_step(state, batch):
+        local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        key, sub = jax.random.split(state.key)
+        grads, duv, radius, metrics = grad_fn(state.model, local, sub)
+        grads = jax.lax.pmean(grads, "dp")
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, "dp"), metrics)
+        duv = jax.lax.psum(duv, "dp")
+        radius = jax.lax.pmax(radius, "dp")
+        return apply_fn(state, grads, duv, radius, metrics, key)
+
+    return dp_step
+
+
+def make_dp_joint_step(cfg: _trainer.TrainerConfig, extr: np.ndarray,
+                       mesh: Mesh, cam_lr: float = 1e-4,
+                       cam_prior_weight: float = 1e-2,
+                       cam_warmup_iters: int = 0,
+                       cam_lr_warmup_scale: float = 10.0,
+                       cam_decay_steps: int = 0,
+                       frames=None):
+    """Data-parallel camera-refine joint step: scene AND per-frame camera
+    twist gradients pmean'd over the mesh (each chip differentiates its
+    own (t1, t2) pair's twist rows; averaging matches the single-chip
+    expectation over pairs). Reuses `train.camera_refine.make_joint_grad_fn`
+    / `make_joint_apply_fn` so --distributed --refine_camera trains the
+    identical objective."""
+    from ..train import camera_refine as _cam
+
+    grad_fn = _cam.make_joint_grad_fn(cfg, extr, cam_prior_weight)
+    apply_fn = _cam.make_joint_apply_fn(
+        cfg, cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
+    )
+
+    @jax.jit
+    @_partial_shmap(mesh, n_array_args=2)
+    def dp_step(state, batch, frames_arg):
+        # strip the sharded leading axis FIRST, then fill per-frame tensors
+        # from the replicated device store (otherwise resolve_batch would
+        # gather [1, H, W, ...] frames against the local [1]-shaped t1)
+        local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        local = _trainer.resolve_batch(frames_arg, local)
+        key, sub = jax.random.split(state.base.key)
+        gp, gxi, duv, radius, metrics = grad_fn(state, local, sub)
+        gp = jax.lax.pmean(gp, "dp")
+        gxi = jax.lax.pmean(gxi, "dp")
+        metrics = jax.tree_util.tree_map(
+            lambda m: jax.lax.pmean(m, "dp"), metrics)
+        duv = jax.lax.psum(duv, "dp")
+        radius = jax.lax.pmax(radius, "dp")
+        return apply_fn(state, gp, gxi, duv, radius, metrics, key)
+
+    def step(state, batch):
+        return dp_step(state, batch, frames)
+
+    return step
+
+
+def _partial_shmap(mesh: Mesh, n_array_args: int = 1):
+    """shard_map decorator: state replicated, first batch arg sharded on
+    "dp", any further args replicated."""
+    from .mesh import shard_map_nocheck
+
+    def deco(f):
+        in_specs = (P(), P("dp")) + (P(),) * (n_array_args - 1)
+        return shard_map_nocheck(f, mesh, in_specs=in_specs,
+                                 out_specs=(P(), P()))
+
+    return deco

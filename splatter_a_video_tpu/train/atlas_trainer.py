@@ -58,29 +58,28 @@ def init_atlas_train_state(
     )
 
 
-def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
-    """Jitted multi-atlas train step (+ per-atlas density/opacity steps)."""
+def _concat_inputs(scenes: Dict[str, GaussianScene], t1, t2):
+    inps = [scene_render_inputs(s, t1) for s in scenes.values()]
+    keys = ("position", "opacity", "scaling", "rotation", "shs")
+    inp = {k: jnp.concatenate([d[k] for d in inps], axis=0) for k in keys}
+    pos2 = jnp.concatenate(
+        [s.get_position(t2) for s in scenes.values()], axis=0
+    )
+    alive = jnp.concatenate([s.alive for s in scenes.values()])
+    return inp, pos2, alive
+
+
+def make_atlas_grad_fn(cfg: TrainerConfig, extr: np.ndarray):
+    """Per-pair gradient computation for the multi-atlas objective —
+    shared between the single-chip `make_atlas_train_step` and the
+    data-parallel wrapper (`parallel.dp.make_dp_atlas_step`), which
+    pmean/psum/pmax-reduces its outputs over the mesh before the update.
+
+    Returns grad_fn(model, batch, sub) -> (grads, duv, radius, metrics)."""
     rcfg = cfg.raster_cfg()
     extr_j = jnp.asarray(extr, jnp.float32)
-    optimizer = _optim.make_optimizer(cfg.optim)
-    # the atlas optimizer prunes by size unconditionally
-    # (`atlas_gs_optimizer.py:362`), unlike the gated single-atlas one
-    _atlas_dcfg = dataclasses.replace(cfg.densify, size_prune_always=True)
 
-    def _concat_inputs(scenes: Dict[str, GaussianScene], t1, t2):
-        inps = [scene_render_inputs(s, t1) for s in scenes.values()]
-        keys = ("position", "opacity", "scaling", "rotation", "shs")
-        inp = {k: jnp.concatenate([d[k] for d in inps], axis=0) for k in keys}
-        pos2 = jnp.concatenate(
-            [s.get_position(t2) for s in scenes.values()], axis=0
-        )
-        alive = jnp.concatenate([s.alive for s in scenes.values()])
-        return inp, pos2, alive
-
-    @jax.jit
-    def train_step(state: AtlasTrainState, batch: Batch):
-        key, sub = jax.random.split(state.key)
-        model = state.model
+    def grad_fn(model: AtlasModel, batch: Batch, sub):
         names = model.names
         offs = model.point_num_sep()
 
@@ -147,6 +146,22 @@ def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
         (grads, duv, dabs), (metrics, radius) = jax.grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(params_dict, uv0, uv0)
+        return grads, duv, radius, metrics
+
+    return grad_fn
+
+
+def make_atlas_apply_fn(cfg: TrainerConfig):
+    """(state, grads, duv, radius, metrics, key) -> (new_state, metrics):
+    per-atlas optimizer update + densification-stat split — the
+    reduction-independent half of the train step."""
+    optimizer = _optim.make_optimizer(cfg.optim)
+
+    def apply_fn(state: AtlasTrainState, grads, duv, radius, metrics, key):
+        model = state.model
+        names = model.names
+        offs = model.point_num_sep()
+        params_dict = {n: model.atlases[n].params for n in names}
 
         # per-atlas optimizer update (FragModel keeps one optimizer per
         # atlas; pytree grads already arrive split by atlas)
@@ -181,6 +196,23 @@ def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
             ),
             metrics,
         )
+
+    return apply_fn
+
+
+def make_atlas_train_step(cfg: TrainerConfig, extr: np.ndarray):
+    """Jitted multi-atlas train step (+ per-atlas density/opacity steps)."""
+    # the atlas optimizer prunes by size unconditionally
+    # (`atlas_gs_optimizer.py:362`), unlike the gated single-atlas one
+    _atlas_dcfg = dataclasses.replace(cfg.densify, size_prune_always=True)
+    grad_fn = make_atlas_grad_fn(cfg, extr)
+    apply_fn = make_atlas_apply_fn(cfg)
+
+    @jax.jit
+    def train_step(state: AtlasTrainState, batch: Batch):
+        key, sub = jax.random.split(state.key)
+        grads, duv, radius, metrics = grad_fn(state.model, batch, sub)
+        return apply_fn(state, grads, duv, radius, metrics, key)
 
     @jax.jit
     def density_step(state: AtlasTrainState):

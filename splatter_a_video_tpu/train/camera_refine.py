@@ -123,11 +123,19 @@ class CamTrainState(NamedTuple):
 
 def init_cam_train_state(
     cfg: _trainer.TrainerConfig, scene: GaussianScene, seed: int = 0,
-    cam_lr: float = 1e-4,
+    cam_lr: float = 1e-4, cam_warmup_iters: int = 0,
+    cam_lr_warmup_scale: float = 10.0, cam_decay_steps: int = 0,
 ) -> CamTrainState:
+    """Pass the SAME warmup/decay arguments as the train-step builder:
+    scheduled and constant-lr Adam states differ in tree structure, and a
+    mismatch surfaces as a confusing `tuple.count` TypeError inside optax
+    (EmptyState masquerading as ScaleByScheduleState)."""
     base = _trainer.init_train_state(cfg, scene, seed=seed)
     xi = jnp.zeros((cfg.num_frames, 6), jnp.float32)
-    return CamTrainState(base, xi, make_cam_optimizer(cam_lr).init(xi))
+    opt = make_cam_optimizer(
+        cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
+    )
+    return CamTrainState(base, xi, opt.init(xi))
 
 
 def make_joint_train_step(
@@ -161,11 +169,9 @@ def make_joint_train_step(
     * cam_decay_steps: post-warmup cosine decay of the camera lr to 0 —
       without it, Adam's scale-normalized updates random-walk the twists
       along the gauge directions at ~lr per step indefinitely."""
-    rcfg = cfg.raster_cfg()
-    extr0 = jnp.asarray(extr, jnp.float32)
-    scene_opt = _optim.make_optimizer(cfg.optim)
-    cam_opt = make_cam_optimizer(
-        cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
+    grad_fn = make_joint_grad_fn(cfg, extr, cam_prior_weight)
+    apply_fn = make_joint_apply_fn(
+        cfg, cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
     )
 
     # frames as a traced argument, not a closure constant — closed-over
@@ -174,8 +180,27 @@ def make_joint_train_step(
     @jax.jit
     def _step(state: CamTrainState, batch: _trainer.Batch, frames_arg):
         batch = _trainer.resolve_batch(frames_arg, batch)
+        key, sub = jax.random.split(state.base.key)
+        gp, gxi, duv, radius, metrics = grad_fn(state, batch, sub)
+        return apply_fn(state, gp, gxi, duv, radius, metrics, key)
+
+    def step(state: CamTrainState, batch: _trainer.Batch):
+        return _step(state, batch, frames)
+
+    return step
+
+
+def make_joint_grad_fn(cfg: _trainer.TrainerConfig, extr: np.ndarray,
+                       cam_prior_weight: float = 1e-2):
+    """Per-pair gradients of the joint scene+camera objective — shared by
+    the single-chip step above and `parallel.dp.make_dp_joint_step`.
+
+    Returns grad_fn(state, batch, sub) -> (gp, gxi, duv, radius, metrics)."""
+    rcfg = cfg.raster_cfg()
+    extr0 = jnp.asarray(extr, jnp.float32)
+
+    def grad_fn(state: CamTrainState, batch: _trainer.Batch, sub):
         ts = state.base
-        key, sub = jax.random.split(ts.key)
         scene = ts.scene
 
         def loss_fn(params, xi, uv_sink, abs_sink):
@@ -208,6 +233,26 @@ def make_joint_train_step(
         (gp, gxi, duv, dabs), (metrics, radius) = jax.grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(scene.params, state.cam_xi, uv0, uv0)
+        return gp, gxi, duv, radius, metrics
+
+    return grad_fn
+
+
+def make_joint_apply_fn(cfg: _trainer.TrainerConfig, cam_lr: float = 1e-4,
+                        cam_warmup_iters: int = 0,
+                        cam_lr_warmup_scale: float = 10.0,
+                        cam_decay_steps: int = 0):
+    """(state, gp, gxi, duv, radius, metrics, key) -> (new_state, metrics):
+    scene + camera optimizer updates and densification-stat accumulation —
+    the reduction-independent half of the joint step."""
+    scene_opt = _optim.make_optimizer(cfg.optim)
+    cam_opt = make_cam_optimizer(
+        cam_lr, cam_warmup_iters, cam_lr_warmup_scale, cam_decay_steps
+    )
+
+    def apply_fn(state: CamTrainState, gp, gxi, duv, radius, metrics, key):
+        ts = state.base
+        scene = ts.scene
         if cam_warmup_iters > 0:
             # pose-only warmup: zero the scene gradients (Adam moments stay
             # at 0, so the scene's post-warmup dynamics are unperturbed)
@@ -229,10 +274,7 @@ def make_joint_train_step(
         )
         return CamTrainState(new_base, new_xi, cam_opt_state), metrics
 
-    def step(state: CamTrainState, batch: _trainer.Batch):
-        return _step(state, batch, frames)
-
-    return step
+    return apply_fn
 
 
 def refined_extrinsics(base_extr: np.ndarray, xi: np.ndarray) -> np.ndarray:

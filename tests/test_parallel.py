@@ -187,3 +187,142 @@ class TestDataParallelStep:
         np.testing.assert_allclose(
             float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-5
         )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+class TestDataParallelAtlasStep:
+    """DP multi-atlas step must train the single-chip objective: same pair
+    replicated on all chips => identical metrics AND identical per-atlas
+    parameter updates (grads pmean over identical values is the identity)."""
+
+    def test_matches_single_chip(self):
+        from splatter_a_video_tpu.models.atlas import AtlasModel
+        from splatter_a_video_tpu.train import atlas_trainer
+
+        W, H, T = 96, 64, 6
+        rng = np.random.RandomState(0)
+
+        def mk(n, traj, seed):
+            r = np.random.RandomState(seed)
+            pos = np.concatenate(
+                [r.uniform(-0.8, 0.8, (n, 2)), r.uniform(0.6, 1.8, (n, 1))], 1
+            ).astype(np.float32)
+            scfg = gaussians.SceneConfig(capacity=n, num_frames=T, traj=traj)
+            kw = {}
+            if traj == "cubic_spline":
+                kw["track_seq"] = np.repeat(pos[None], T, axis=0)
+            return gaussians.create_scene(
+                scfg, pos, r.rand(n, 3).astype(np.float32),
+                init_opacity=0.6, **kw,
+            )
+
+        model = AtlasModel(atlases={
+            "gs_base": mk(512, "cubic_spline", 0),
+            "gs_fg": mk(256, "poly_fourier", 1),
+        })
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=T, num_track_samples=64,
+            max_intersections=1 << 15, optim=optim.OptimConfig(max_steps=100),
+        )
+        cam = camera.canonical_camera(W, H)
+        qp = rng.uniform(0, [W - 1, H - 1], (64, 2)).astype(np.float32)
+        pair = trainer.Batch(
+            t1=jnp.asarray(0), t2=jnp.asarray(3),
+            rgb1=jnp.asarray(rng.rand(H, W, 3).astype(np.float32)),
+            depth1=jnp.asarray(rng.rand(H, W).astype(np.float32) + 0.5),
+            query_px=jnp.asarray(qp),
+            target_tracks=jnp.asarray(
+                np.concatenate([qp, -5 * np.ones((64, 2))], 1).astype(np.float32)
+            ),
+            track_valid=jnp.ones((64,), bool),
+        )
+        st0 = atlas_trainer.init_atlas_train_state(tcfg, model)
+        sstep, _, _ = atlas_trainer.make_atlas_train_step(tcfg, cam.extrinsic)
+        st_s, m_s = sstep(st0, pair)
+
+        m8 = mesh_lib.make_mesh(8)
+        dstep = dp.make_dp_atlas_step(tcfg, np.asarray(cam.extrinsic), m8)
+        rep = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (8,) + jnp.shape(x)), pair
+        )
+        st_d, m_d = dstep(st0, rep)
+
+        np.testing.assert_allclose(
+            float(m_d["loss"]), float(m_s["loss"]), rtol=1e-5
+        )
+        for n in ("gs_base", "gs_fg"):
+            for k in ("position", "opacity"):
+                np.testing.assert_allclose(
+                    np.asarray(st_d.model.atlases[n].params[k]),
+                    np.asarray(st_s.model.atlases[n].params[k]),
+                    atol=1e-6, err_msg=f"{n}.{k}",
+                )
+            # densify stats reduce (vis=any, radii=max, grads=sum over 8
+            # identical pairs -> 8x the single-chip grad accumulator)
+            np.testing.assert_allclose(
+                np.asarray(st_d.densify_states[n].pos_grad_accum),
+                8.0 * np.asarray(st_s.densify_states[n].pos_grad_accum),
+                rtol=1e-4, atol=1e-6, err_msg=f"{n} grad_accum",
+            )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+class TestDataParallelJointCameraStep:
+    """DP camera-refine joint step: replicated pair => metrics, scene
+    params AND camera twists match the single-chip joint step."""
+
+    def test_matches_single_chip(self):
+        from splatter_a_video_tpu.train import camera_refine
+
+        W, H, T = 96, 64, 8
+        rng = np.random.RandomState(1)
+        scene = _scene(N=1024, W=W, H=H)
+        tcfg = trainer.TrainerConfig(
+            width=W, height=H, num_frames=T, num_track_samples=64,
+            max_intersections=1 << 15, optim=optim.OptimConfig(max_steps=100),
+        )
+        cam = camera.canonical_camera(W, H)
+        qp = rng.uniform(0, [W - 1, H - 1], (64, 2)).astype(np.float32)
+        pair = trainer.Batch(
+            t1=jnp.asarray(0, jnp.int32), t2=jnp.asarray(4, jnp.int32),
+            rgb1=jnp.asarray(rng.rand(H, W, 3).astype(np.float32)),
+            depth1=jnp.asarray(rng.rand(H, W).astype(np.float32) + 0.5),
+            query_px=jnp.asarray(qp),
+            target_tracks=jnp.asarray(
+                np.concatenate([qp, -5 * np.ones((64, 2))], 1).astype(np.float32)
+            ),
+            track_valid=jnp.ones((64,), bool),
+        )
+        kw = dict(cam_lr=1e-3, cam_prior_weight=1e-2, cam_warmup_iters=2)
+        st0 = camera_refine.init_cam_train_state(
+            tcfg, scene, cam_lr=1e-3, cam_warmup_iters=2
+        )
+        sstep = camera_refine.make_joint_train_step(
+            tcfg, np.asarray(cam.extrinsic), **kw
+        )
+        st_s, m_s = sstep(st0, pair)
+
+        m8 = mesh_lib.make_mesh(8)
+        dstep = dp.make_dp_joint_step(
+            tcfg, np.asarray(cam.extrinsic), m8, **kw
+        )
+        rep = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (8,) + jnp.shape(x)), pair
+        )
+        st_d, m_d = dstep(st0, rep)
+
+        np.testing.assert_allclose(
+            float(m_d["loss"]), float(m_s["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_d.cam_xi), np.asarray(st_s.cam_xi), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_d.base.scene.params["position"]),
+            np.asarray(st_s.base.scene.params["position"]), atol=1e-6,
+        )
+        assert np.any(np.asarray(st_d.cam_xi) != 0.0), (
+            "camera twists did not move: joint grads not flowing"
+        )

@@ -85,9 +85,17 @@ fcfg = fit.FitConfig(
     capacity_factor=CAPF,
     init_num_points=INIT_N,
 )
+# E480_ATTR=1 switches on the reference's hand-enabled attribute
+# supervision (mask MSE + fg-layer terms at weight 20,
+# `trainer_fragGS.py:632-668` — `if False:` blocks in the reference,
+# switched on by hand for the layer-split/editing capabilities); off for
+# the flagship parity config. DINO stays off: synthetic clips carry no
+# DINO features (the DAVIS pipeline supplies them via `data/dinov2/`).
+ATTR_W = 20.0 if os.environ.get("E480_ATTR", "0") == "1" else 0.0
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T,
     loss_flow_weight=FLOW_W,
+    mask_attr_weight=ATTR_W, fg_layer_weight=ATTR_W,
     num_track_samples=NTRACK, max_intersections=MAXI,
     optim=optim.OptimConfig(max_steps=STEPS),
     densify=density.DensifyConfig(
@@ -136,12 +144,16 @@ if not QUICK:
     # variant runs (T!=48, capacity sweeps) must not clobber the flagship
     # scene that the capability artifacts are generated from
     scene_name = "final_scene.npz"
-    if T != 48 or CAPF != 1.31 or os.environ.get("E480_SUFFIX"):
+    if T != 48 or CAPF != 1.31 or ATTR_W or os.environ.get("E480_SUFFIX"):
         scene_name = (f"final_scene_T{T}_c{CAPF}"
+                      f"{'_attr' if ATTR_W else ''}"
                       f"{os.environ.get('E480_SUFFIX', '')}.npz")
     np.savez(os.path.join(outdir, scene_name),
              **{k: np.asarray(v) for k, v in scene.params.items()},
-             alive=np.asarray(scene.alive))
+             alive=np.asarray(scene.alive),
+             # aux needed to reconstruct the scene without the clip
+             # (capability_480p.py re-derives knots and asserts the match)
+             spline_knots=np.asarray(scene.aux["spline_knots"]))
 
 psnrs, ssims = [], []
 res = inference.render_video(scene, cam, rcfg, list(range(T)))
@@ -170,7 +182,7 @@ print("tapvid:", json.dumps({k: round(v, 2) for k, v in m.items()}),
 out = {
     "date": time.strftime("%Y-%m-%d"),
     "scale": {"width": W, "height": H, "frames": T, "steps": STEPS,
-              "track_grid": GRID,
+              "track_grid": GRID, "attr_weight": ATTR_W,
               "texture": TEXTURE, "loss_flow_weight": FLOW_W,
               "init_points_requested": INIT_N,
               "init_points": int(hist[0]["alive"]),
@@ -216,6 +228,8 @@ if T != 48 and not QUICK:
     suffix += f"_T{T}"   # e.g. the reference-default 250-frame point
 if CAPF != 1.31:
     suffix += f"_c{int(state.scene.cfg.capacity/1000)}k"
+if ATTR_W:
+    suffix += "_attr"
 if os.environ.get("E480_SUFFIX"):
     suffix += "_" + os.environ["E480_SUFFIX"]
 dest = os.path.join(os.path.dirname(__file__), "..",

@@ -203,31 +203,34 @@ def densify_and_prune(
     clone_mask = hot & (max_scale <= dense_limit)
     split_mask = hot & (max_scale > dense_limit)
 
-    # ---- build the candidate list: clones first, then split children -----
-    clone_idx = jnp.nonzero(clone_mask, size=cap, fill_value=-1)[0]
-    split_idx = jnp.nonzero(split_mask, size=cap, fill_value=-1)[0]
-    n_clone = jnp.sum(clone_mask)
-    n_split = jnp.sum(split_mask)
-
+    # ---- build the candidate list, hottest parents first -----------------
+    # The reference never orders candidates: its growth is unbounded
+    # (`points.py:281-395`) so every candidate lands. Under a static
+    # capacity, placement is a prefix of the candidate list, so the ORDER
+    # becomes the drop policy. Slot-index order (rounds <=4) is arbitrary:
+    # at saturation it starves the highest-error regions and never splits
+    # (splits sat behind all clones) — measured as a PSNR collapse in the
+    # first T=250 flagship run (saturated from step ~1500, 37k dropped
+    # per event, PSNR 15.7 -> 9; /tmp/e480_T250.log 2026-08-20). Ranking
+    # parents by accumulated viewspace-gradient norm makes the truncated
+    # event place the candidates the densify heuristic itself considers
+    # most urgent. When nothing is dropped the placed SET is identical,
+    # so unsaturated dynamics (and the quality gate) are unchanged.
     sn = cfg.split_num
-    split_children = jnp.repeat(split_idx, sn)          # [cap*sn], grouped
-    split_rank = jnp.tile(jnp.arange(sn), cap)
-
-    all_parent = jnp.concatenate([clone_idx, split_children])
-    all_is_split = jnp.concatenate(
-        [jnp.zeros((cap,), bool), jnp.ones((cap * sn,), bool)]
-    )
-    all_rank = jnp.concatenate([jnp.zeros((cap,), jnp.int32), split_rank])
-    # compact out the -1 padding (keeps clone-before-split order)
-    keep = jnp.nonzero(all_parent >= 0, size=cap, fill_value=cap * (sn + 1))[0]
-    pad_row = jnp.concatenate([all_parent, jnp.array([-1])])
-    cand_parent = pad_row[jnp.minimum(keep, cap * (sn + 1))]
-    cand_is_split = jnp.concatenate([all_is_split, jnp.array([False])])[
-        jnp.minimum(keep, cap * (sn + 1))
-    ]
-    cand_rank = jnp.concatenate([all_rank, jnp.array([0])])[
-        jnp.minimum(keep, cap * (sn + 1))
-    ]
+    n_child = jnp.where(hot, jnp.where(split_mask, sn, 1), 0)    # [cap]
+    prio = jnp.where(hot, grads, -jnp.inf)
+    order = jnp.argsort(-prio)                # hot slots by grad desc, stable
+    n_child_o = n_child[order]
+    cum = jnp.cumsum(n_child_o)               # inclusive; cum[-1] = n_cand
+    c = jnp.arange(cap)
+    pj = jnp.searchsorted(cum, c, side="right")          # ordered-parent id
+    valid = c < cum[-1]
+    pj_c = jnp.minimum(pj, cap - 1)
+    parent = order[pj_c]
+    start = cum[pj_c] - n_child_o[pj_c]       # candidate offset of parent
+    cand_parent = jnp.where(valid, parent, -1)
+    cand_is_split = valid & split_mask[parent]
+    cand_rank = jnp.where(valid, c - start, 0).astype(jnp.int32)
 
     new_params, used, n_placed, n_cand, n_free = _place_candidates(
         params, alive, cand_parent, cand_is_split, cand_rank, key, sn
@@ -235,12 +238,12 @@ def densify_and_prune(
     alive = alive | used
 
     # ---- remove split parents whose children were all placed -------------
-    # children of split parent r occupy candidate positions
-    # [n_clone + r*sn, n_clone + (r+1)*sn); placement is a prefix.
-    r = jnp.arange(cap)
-    parent_last_child = n_clone + (r + 1) * sn - 1
-    parent_removed = (parent_last_child < n_placed) & (split_idx >= 0)
-    remove_slots = jnp.where(parent_removed, split_idx, cap)
+    # slot s's children span [start_slot[s], start_slot[s] + sn) of the
+    # candidate list; placement is a prefix of n_placed.
+    inv_order = jnp.argsort(order)            # slot -> ordered position
+    start_slot = (cum - n_child_o)[inv_order]
+    parent_removed = split_mask & (start_slot + sn <= n_placed)
+    remove_slots = jnp.where(parent_removed, jnp.arange(cap), cap)
     alive = alive.at[remove_slots].set(False, mode="drop")
 
     # ---- prune ------------------------------------------------------------
@@ -284,7 +287,8 @@ def densify_and_prune(
     aux["alive"] = alive
     new_scene = scene.replace(params=new_params, aux=aux)
     info = DensifyInfo(
-        num_cloned=jnp.minimum(n_clone, n_placed),
+        num_cloned=jnp.sum((jnp.arange(cap) < n_placed) & valid
+                           & ~cand_is_split),
         num_split=jnp.sum(parent_removed),
         num_pruned=n_pruned,
         dropped=n_cand - n_placed,

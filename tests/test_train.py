@@ -297,6 +297,38 @@ class TestDensityUnit:
         assert int(info.dropped) == 14  # 20 candidates, 6 free slots
         assert int(scene2.num_alive) == CAP
 
+    def test_saturated_placement_prioritizes_hot_gradients(self):
+        """Under capacity pressure the placement prefix must follow the
+        accumulated viewspace-grad ranking, not slot order: the hottest
+        parents win the free slots (the T=250 flagship collapse was the
+        slot-order policy starving the highest-error regions)."""
+        scene, opt, opt_state, dstate = self._setup(n=250)  # only 6 free
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1,
+                                    percent_dense=10.0)
+        grads = jnp.zeros((CAP,))
+        # low-index lukewarm candidates, high-index HOT candidates
+        grads = grads.at[:20].set(0.2).at[200:210].set(5.0)
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=grads,
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, _, _, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg,
+            jax.random.PRNGKey(0),
+        )
+        assert int(info.dropped) == 24  # 30 candidates, 6 free
+        assert int(info.num_cloned) == 6
+        # every placed child is a clone of a HOT parent (position matches
+        # one of slots 200..209, none of the lukewarm 0..19)
+        alive_new = np.asarray(scene2.alive) & ~np.asarray(scene.alive)
+        new_pos = np.asarray(scene2.params["position"])[alive_new]
+        hot_pos = np.asarray(scene.params["position"])[200:210]
+        cold_pos = np.asarray(scene.params["position"])[:20]
+        for p in new_pos:
+            assert np.min(np.abs(hot_pos - p).sum(axis=1)) < 1e-6
+            assert np.min(np.abs(cold_pos - p).sum(axis=1)) > 1e-4
+
     def test_moments_zeroed_for_new_slots(self):
         scene, opt, opt_state, dstate = self._setup(n=20)
         # fake nonzero moments everywhere

@@ -104,12 +104,23 @@ tcfg = trainer.TrainerConfig(
         # threshold 0.0002) + the atlas optimizer's unconditional size
         # prune (atlas_gs_optimizer.py:362). cameras_extent=5 is the
         # DensifyConfig default (trainer_fragGS.py:229).
-        densify_start_iter=500,
+        # T-scaled schedule knobs: the reference's step-based schedule
+        # implicitly assumes ~T=50-90 clips (per-frame VISIT counts are
+        # what the dynamics see: start 500 / interval 100 at T=48 is ~10
+        # visits to start and ~2 per event; at T=250 the same steps are
+        # 2 and 0.4 — densify then outruns healing and the fit collapses,
+        # measured in /tmp/e480_T250*.log 2026-08-20)
+        densify_start_iter=int(os.environ.get("E480_DENSIFY_START", "500")),
         densify_stop_iter=100_000,
+        prune_interval=int(os.environ.get("E480_DENSIFY_INT", "100")),
+        duplicate_interval=int(os.environ.get("E480_DENSIFY_INT", "100")),
         opacity_reset_interval=int(
             os.environ.get("E480_RESET_INT", "3000")),
         densify_grad_threshold=float(
             os.environ.get("E480_GRAD_TH", "0.0002")),
+        # per-event growth budget (fraction of alive; 0 = reference's
+        # unlimited growth). See density.DensifyConfig.max_growth_frac.
+        max_growth_frac=float(os.environ.get("E480_GROWTH_FRAC", "0")),
         size_prune_always=(
             os.environ.get("E480_SIZE_PRUNE_ALWAYS", "1") == "1"),
     ) if os.environ.get("E480_DENSIFY", "1") == "1" else
@@ -188,6 +199,9 @@ out = {
               "init_points": int(hist[0]["alive"]),
               "capacity": int(state.scene.cfg.capacity),
               "densify": os.environ.get("E480_DENSIFY", "1") == "1",
+              "densify_start_iter": tcfg.densify.densify_start_iter,
+              "densify_interval": tcfg.densify.duplicate_interval,
+              "max_growth_frac": tcfg.densify.max_growth_frac,
               "densify_grad_threshold": tcfg.densify.densify_grad_threshold,
               "opacity_reset_interval": tcfg.densify.opacity_reset_interval,
               "size_prune_always": tcfg.densify.size_prune_always,

@@ -79,6 +79,18 @@ class DensifyConfig:
     # (world-size threshold 0.1 instead of the reference's 0.5); with
     # extent=5 the production rule trains fine (METRICS_480p.json r4).
     size_prune_always: bool = False
+    # Per-event growth budget as a fraction of the current alive count
+    # (0 = unlimited, the reference's behavior: `points.py:281-395` grows
+    # by every candidate). MEASURED NEED (2026-08-20): on the textured
+    # 480p harness the unlimited policy places 20-40k candidates per
+    # event once errors are large (T=250, or T=48 with headroom beyond
+    # ~131k); mass duplication then outruns the ~2 visits/frame of
+    # healing between events and the fit collapses (PSNR 16 -> 9,
+    # METRICS_480p_c196k / _T250 artifacts). A budget of ~5%/event keeps
+    # growth exponential (x1.05 per event) but healable; combined with
+    # hottest-first candidate ordering the budget goes to the regions
+    # the heuristic scores most urgent.
+    max_growth_frac: float = 0.0
 
 
 class DensifyState(NamedTuple):
@@ -129,14 +141,17 @@ def _place_candidates(
     cand_rank: jnp.ndarray,     # [cap] child rank within parent (for rng)
     key: jax.Array,
     split_num: int,
+    max_new=None,               # scalar placement budget (None = n_free)
 ):
     """Scatter candidate children into free slots. Returns (params, used_mask,
     n_placed, n_cand, n_free)."""
+    if max_new is None:
+        max_new = alive.shape[0]
     cap = alive.shape[0]
     free_idx = jnp.nonzero(~alive, size=cap, fill_value=cap)[0]  # [cap]
     n_free = jnp.sum(~alive)
     n_cand = jnp.sum(cand_parent >= 0)
-    n_placed = jnp.minimum(n_free, n_cand)
+    n_placed = jnp.minimum(jnp.minimum(n_free, n_cand), max_new)
 
     j = jnp.arange(cap)
     placed = (j < n_placed) & (cand_parent >= 0)
@@ -232,8 +247,14 @@ def densify_and_prune(
     cand_is_split = valid & split_mask[parent]
     cand_rank = jnp.where(valid, c - start, 0).astype(jnp.int32)
 
+    max_new = None
+    if cfg.max_growth_frac > 0:
+        max_new = jnp.ceil(
+            cfg.max_growth_frac * jnp.sum(alive)
+        ).astype(jnp.int32)
     new_params, used, n_placed, n_cand, n_free = _place_candidates(
-        params, alive, cand_parent, cand_is_split, cand_rank, key, sn
+        params, alive, cand_parent, cand_is_split, cand_rank, key, sn,
+        max_new=max_new,
     )
     alive = alive | used
 

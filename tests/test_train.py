@@ -329,6 +329,34 @@ class TestDensityUnit:
             assert np.min(np.abs(hot_pos - p).sum(axis=1)) < 1e-6
             assert np.min(np.abs(cold_pos - p).sum(axis=1)) > 1e-4
 
+    def test_growth_budget_caps_event_and_takes_hottest(self):
+        """max_growth_frac bounds per-event placements to a fraction of
+        alive, spent on the highest-grad candidates."""
+        scene, opt, opt_state, dstate = self._setup(n=100)  # plenty free
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1,
+                                    percent_dense=10.0,
+                                    max_growth_frac=0.05)  # 5 of 100
+        grads = jnp.zeros((CAP,))
+        grads = grads.at[:30].set(0.2).at[90:95].set(5.0)  # 35 hot
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=grads,
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, _, _, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg,
+            jax.random.PRNGKey(0),
+        )
+        assert int(info.num_cloned) == 5
+        assert int(info.dropped) == 30
+        assert int(scene2.num_alive) == 105
+        # the budget went to the 5 hottest parents (slots 90..94)
+        alive_new = np.asarray(scene2.alive) & ~np.asarray(scene.alive)
+        new_pos = np.asarray(scene2.params["position"])[alive_new]
+        hot_pos = np.asarray(scene.params["position"])[90:95]
+        for p in new_pos:
+            assert np.min(np.abs(hot_pos - p).sum(axis=1)) < 1e-6
+
     def test_moments_zeroed_for_new_slots(self):
         scene, opt, opt_state, dstate = self._setup(n=20)
         # fake nonzero moments everywhere

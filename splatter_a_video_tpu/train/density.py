@@ -233,8 +233,18 @@ def densify_and_prune(
     # so unsaturated dynamics (and the quality gate) are unchanged.
     sn = cfg.split_num
     n_child = jnp.where(hot, jnp.where(split_mask, sn, 1), 0)    # [cap]
+    # CLONE-BEFORE-SPLIT is load-bearing, not incidental: the reference
+    # runs `densify_clone` before `densify_split` (`gs_optimizer.py:
+    # 302,338`), and a grad-only priority inverts it — the hottest
+    # candidates are overwhelmingly splits (hot implies large residuals,
+    # and large gaussians collect the largest accumulated grads), and a
+    # split is destructive (parent removed, children rescaled 0.8/sn at
+    # resampled positions with fresh moments). Measured 2026-08-20: pure
+    # grad priority collapsed even the r4-good 131k flagship config
+    # (PSNR 26.5 -> 10, /tmp/e480_growth5.log) by churning mass through
+    # hot splits. Order: clones (grad desc), then splits (grad desc).
     prio = jnp.where(hot, grads, -jnp.inf)
-    order = jnp.argsort(-prio)                # hot slots by grad desc, stable
+    order = jnp.lexsort((-prio, split_mask & hot, ~hot))
     n_child_o = n_child[order]
     cum = jnp.cumsum(n_child_o)               # inclusive; cum[-1] = n_cand
     c = jnp.arange(cap)

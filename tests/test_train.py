@@ -357,6 +357,38 @@ class TestDensityUnit:
         for p in new_pos:
             assert np.min(np.abs(hot_pos - p).sum(axis=1)) < 1e-6
 
+    def test_clones_place_before_hotter_splits(self):
+        """Reference order parity under scarcity: densify_clone runs
+        before densify_split (`gs_optimizer.py:302,338`), so when slots
+        are scarce clones win them even against higher-grad splits
+        (grad-only priority measurably collapses training by churning
+        mass through hot splits)."""
+        scene, opt, opt_state, dstate = self._setup(n=250)  # 6 free
+        # dense_limit such that slots 0..9 (scale below) clone and
+        # slots 200..204 split: set scales explicitly
+        params = dict(scene.params)
+        params["scaling"] = params["scaling"].at[:10].set(-10.0)   # tiny
+        params["scaling"] = params["scaling"].at[200:205].set(1.0)  # huge
+        scene = scene.replace(params=params)
+        cfg = density.DensifyConfig(densify_grad_threshold=0.1,
+                                    percent_dense=0.001)
+        grads = jnp.zeros((CAP,))
+        grads = grads.at[:10].set(0.2).at[200:205].set(5.0)  # splits hotter
+        dstate = density.DensifyState(
+            max_radii2d=jnp.zeros((CAP,)),
+            pos_grad_accum=grads,
+            denom=jnp.ones((CAP,)),
+        )
+        scene2, _, _, info = density.densify_and_prune(
+            scene, opt_state, dstate, jnp.asarray(100), cfg,
+            jax.random.PRNGKey(0),
+        )
+        # all 6 free slots went to clones; no split parent was removed
+        assert int(info.num_cloned) == 6
+        assert int(info.num_split) == 0
+        alive2 = np.asarray(scene2.alive)
+        assert alive2[200:205].all()
+
     def test_moments_zeroed_for_new_slots(self):
         scene, opt, opt_state, dstate = self._setup(n=20)
         # fake nonzero moments everywhere

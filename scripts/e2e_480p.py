@@ -120,7 +120,14 @@ tcfg = trainer.TrainerConfig(
             os.environ.get("E480_GRAD_TH", "0.0002")),
         # per-event growth budget (fraction of alive; 0 = reference's
         # unlimited growth). See density.DensifyConfig.max_growth_frac.
-        max_growth_frac=float(os.environ.get("E480_GROWTH_FRAC", "0")),
+        # Passed via **-filter below so historical density.py versions
+        # (A/B archaeology runs) still construct.
+        **({"max_growth_frac":
+            float(os.environ.get("E480_GROWTH_FRAC", "0"))}
+           if any(f.name == "max_growth_frac"
+                  for f in __import__("dataclasses").fields(
+                      density.DensifyConfig))
+           else {}),
         size_prune_always=(
             os.environ.get("E480_SIZE_PRUNE_ALWAYS", "1") == "1"),
     ) if os.environ.get("E480_DENSIFY", "1") == "1" else
@@ -201,7 +208,7 @@ out = {
               "densify": os.environ.get("E480_DENSIFY", "1") == "1",
               "densify_start_iter": tcfg.densify.densify_start_iter,
               "densify_interval": tcfg.densify.duplicate_interval,
-              "max_growth_frac": tcfg.densify.max_growth_frac,
+              "max_growth_frac": getattr(tcfg.densify, "max_growth_frac", None),
               "densify_grad_threshold": tcfg.densify.densify_grad_threshold,
               "opacity_reset_interval": tcfg.densify.opacity_reset_interval,
               "size_prune_always": tcfg.densify.size_prune_always,

@@ -8,15 +8,24 @@ too late — but backends initialize lazily, so `jax.config` still works here.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# SAV_TEST_TPU=1 runs the selected tests on the real TPU backend instead
+# (kernel tests then exercise the actual Mosaic compiler rather than the
+# Pallas interpreter — how the 2026-08-20 toolchain regression was
+# localized); multi-device tests will skip on the single chip.
+_USE_TPU = os.environ.get("SAV_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Compile time dominates the suite (every fit/step test jits a full
 # train-step graph); the persistent cache makes repeat runs — the common

@@ -111,7 +111,7 @@ tcfg = trainer.TrainerConfig(
         # 2 and 0.4 — densify then outruns healing and the fit collapses,
         # measured in /tmp/e480_T250*.log 2026-08-20)
         densify_start_iter=int(os.environ.get("E480_DENSIFY_START", "500")),
-        densify_stop_iter=100_000,
+        densify_stop_iter=int(os.environ.get("E480_DENSIFY_STOP", "100000")),
         prune_interval=int(os.environ.get("E480_DENSIFY_INT", "100")),
         duplicate_interval=int(os.environ.get("E480_DENSIFY_INT", "100")),
         opacity_reset_interval=int(

@@ -91,6 +91,20 @@ class DensifyConfig:
     # hottest-first candidate ordering the budget goes to the regions
     # the heuristic scores most urgent.
     max_growth_frac: float = 0.0
+    # Permanently stop densification once post-event saturation
+    # (alive/capacity) reaches this level (0 disables). A saturated scene
+    # cannot grow; what events then do is pure CHURN — prune a few
+    # thousand and refill the slots with clones every interval — and the
+    # 2026-08-20 bisect measured that churn as the collapse agent on the
+    # textured 480p harness: PSNR climbs to ~20 until full capacity
+    # (step ~2000), then crashes to ~10 once saturated events begin,
+    # while an identical run with events stopped just before saturation
+    # holds 20-21.5 through the opacity resets (/tmp/e480_stop19.log).
+    # The latch lives in the fit loop (`fit.fit_clip`), which already
+    # syncs DensifyInfo per event. The reference cannot hit this state
+    # (unbounded growth), so 0.97 is the static-capacity design's analog
+    # of "no capacity left: densification is done".
+    saturation_stop: float = 0.97
 
 
 class DensifyState(NamedTuple):

@@ -483,6 +483,7 @@ def fit_clip(
     history: List[Dict] = []
     densify_totals = {"cloned": 0, "split": 0, "pruned": 0, "dropped": 0,
                       "events": 0}
+    densify_stopped = False
     t_start = time.time()
     t_first_step = None  # wall after step 1 completes (compile included)
     profiling = False
@@ -511,7 +512,7 @@ def fit_clip(
             # the steady-state rate in the returned timing breakdown
             jax.block_until_ready(metrics)
             t_first_step = time.time()
-        if _trainer.should_densify(trainer_cfg, step):
+        if _trainer.should_densify(trainer_cfg, step) and not densify_stopped:
             state, dinfo = density_step(state)
             # capacity accounting: the reference grows unboundedly
             # (`points.py:281-395`); our static-capacity design drops
@@ -527,6 +528,22 @@ def fit_clip(
                     f"# densify step {step}: {int(dinfo.dropped)} candidates"
                     f" dropped (capacity {int(state.scene.cfg.capacity)},"
                     f" alive {int(dinfo.num_alive)})", flush=True,
+                )
+            # saturation latch: a full scene cannot grow — further events
+            # are pure prune-and-refill churn, measured as the collapse
+            # agent on the 480p textured harness (density.DensifyConfig.
+            # saturation_stop). Permanent for the run, reported loudly.
+            sat_stop = getattr(trainer_cfg.densify, "saturation_stop", 0.0)
+            if sat_stop and (
+                int(dinfo.num_alive)
+                >= sat_stop * state.scene.cfg.capacity
+            ):
+                densify_stopped = True
+                densify_totals["stopped_at_step"] = step
+                print(
+                    f"# densify stopped at step {step}: saturation "
+                    f"{int(dinfo.num_alive)}/{int(state.scene.cfg.capacity)}"
+                    f" >= {sat_stop:.2f} (churn guard)", flush=True,
                 )
         if _trainer.should_reset_opacity(trainer_cfg, step):
             state = opacity_reset(state)

@@ -94,10 +94,19 @@ fcfg = fit.FitConfig(
 ATTR_W = 20.0 if os.environ.get("E480_ATTR", "0") == "1" else 0.0
 tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T,
+    nearest=float(os.environ.get("E480_NEAREST", "0.2")),
     loss_flow_weight=FLOW_W,
     mask_attr_weight=ATTR_W, fg_layer_weight=ATTR_W,
     num_track_samples=NTRACK, max_intersections=MAXI,
-    optim=optim.OptimConfig(max_steps=STEPS),
+    # E480_LR_STEPS decouples the lr-annealing horizon from the step
+    # count: the 2026-08-20 toolchain's noisier kernel grads destabilize
+    # the textured fit at the position-lr level the 20k schedule holds
+    # through steps 2-3k (PSNR 20 -> 10 collapse), while the 8k-horizon
+    # annealing is measurably stable (METRICS_480p_stop19: PSNR 17.8 at
+    # 8k steps, monotone). Training continues past the horizon at the
+    # schedule's final lr (expon_lr clamps).
+    optim=optim.OptimConfig(
+        max_steps=int(os.environ.get("E480_LR_STEPS", str(STEPS)))),
     densify=density.DensifyConfig(
         # production values: frag_gs_v10.yaml:29-38 (start 500, stop
         # 100000 i.e. never within 20k iters, reset every 3000, grad

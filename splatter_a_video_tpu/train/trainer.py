@@ -87,6 +87,18 @@ class TrainerConfig:
     # rasterizer
     max_intersections: int = 1 << 19
     max_tiles_per_gaussian: int = 64
+    # Near-plane cull for TRAINING renders — keep the reference's
+    # production value 0.01 (`dptr_ortho_enhanced.py:287`). A tempting
+    # "fix" during the 2026-08-20 collapse hunt was the projector's own
+    # 0.2 default (`dptr_ortho.py:150`) to close the near-camera floater
+    # zone; MEASURED RESULT: 0.2 actively destabilizes the textured
+    # flagship (identical seeds diverge by step 1500: PSNR 20.4 at 0.01
+    # vs 18.7-then-collapse at 0.2) — gaussians drifting below the cull
+    # lose the photometric gradient that would pull them back and become
+    # abandoned mass the ARAP/depth terms still see. Do not raise this
+    # without re-running the flagship A/B (/tmp/e480_final3 vs final4,
+    # 2026-08-20).
+    nearest: float = 0.01
     block_x: int = 16                  # rasterizer tile: 16x16 measured
     block_y: int = 16                  # best for TRAINING (device 36.6 vs
     #                                    38.6 ms at (32,16): the backward's
@@ -108,6 +120,7 @@ class TrainerConfig:
             block_x=self.block_x,
             block_y=self.block_y,
             K_idx=K_idx,
+            nearest=self.nearest,
         )
 
 

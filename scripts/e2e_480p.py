@@ -96,7 +96,13 @@ tcfg = trainer.TrainerConfig(
     width=W, height=H, num_frames=T,
     nearest=float(os.environ.get("E480_NEAREST", "0.2")),
     loss_flow_weight=FLOW_W,
-    mask_attr_weight=ATTR_W, fg_layer_weight=ATTR_W,
+    mask_attr_weight=ATTR_W,
+    # fg-layer re-render supervision is separately gated: its second
+    # differentiable render measurably destabilizes the flagship on the
+    # 2026-08-20 toolchain (PSNR 18 -> 10 by step 5k, /tmp/e480_attr.log)
+    # and the layer-split capability needs only the mask attribute
+    fg_layer_weight=(ATTR_W if os.environ.get("E480_FG_LAYER") == "1"
+                     else 0.0),
     num_track_samples=NTRACK, max_intersections=MAXI,
     # E480_LR_STEPS decouples the lr-annealing horizon from the step
     # count: the 2026-08-20 toolchain's noisier kernel grads destabilize
